@@ -1,0 +1,115 @@
+"""DIA (diagonal) operator — the primary TPU SpMV format.
+
+The reference meets "SpMV at memory roofline with load balance over
+irregular rows" with a merge-based CSR kernel (cg-kernels-cuda.cu:312-441).
+On TPU, per-element gather is the wrong primitive (measured ~0.1 Gnnz/s via
+XLA gather on the target chip); the same goal is met by a different layout:
+matrices from PDE discretizations are (after bandwidth-reducing ordering)
+collections of a few hundred nonzero diagonals, and
+
+    y = Σ_k  vals[k, :] ⊙ x[offset_k : offset_k + N]
+
+is pure shifted streaming — VPU work at HBM bandwidth, no gather at all.
+The slabs are laid out (K, N): the long axis on the 128-lane dimension
+(an (N, K) layout tile-pads ~25× on TPU).
+
+Out-of-range slots hold zero values, so shifts can be implemented over a
+zero-padded extended vector without masking.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class DiaOperator:
+    """Static-offset diagonal operator.
+
+    ``offsets`` are static Python ints (they become compile-time constants
+    in the SpMV); ``vals`` is a (K, Np) device array where Np = N padded to
+    a lane multiple; rows ≥ N are zero.
+    """
+
+    vals: jnp.ndarray                 # (K, Np)
+    offsets: tuple[int, ...]          # static
+    N: int                            # logical size (static)
+
+    # -- pytree plumbing (offsets/N are static aux data) ----------------------
+    def tree_flatten(self):
+        return (self.vals,), (self.offsets, self.N)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(vals=children[0], offsets=aux[0], N=aux[1])
+
+    # -------------------------------------------------------------------------
+
+    @property
+    def Np(self) -> int:
+        return self.vals.shape[1]
+
+    @property
+    def halo_width(self) -> int:
+        return max(max(abs(o) for o in self.offsets), 1) if self.offsets else 1
+
+    @property
+    def nnz(self) -> int:
+        """Stored (padded) nonzero slots — the analytic SpMV work measure."""
+        return len(self.offsets) * self.N
+
+    @classmethod
+    def from_arrays(cls, offsets, vals, dtype=None, pad_to: int = 1024) -> "DiaOperator":
+        """From host (offsets, (K, N) slabs); pads N up to a multiple of
+        ``pad_to`` with zero columns (the zero-padding invariant makes padded
+        rows inert in SpMV and reductions)."""
+        offsets = tuple(int(o) for o in np.asarray(offsets))
+        vals = np.asarray(vals)
+        K, N = vals.shape
+        Np = _round_up(max(N, 1), pad_to)
+        if dtype is not None:
+            vals = vals.astype(dtype)
+        if Np != N:
+            vals = np.pad(vals, ((0, 0), (0, Np - N)))
+        return cls(vals=jnp.asarray(vals), offsets=offsets, N=N)
+
+    # -- SpMV -----------------------------------------------------------------
+
+    def spmv_ext(self, x_ext: jnp.ndarray, hw: int) -> jnp.ndarray:
+        """SpMV against an extended vector x_ext = [pad(hw) | x (Np) | pad(hw)],
+        where the pads hold whatever the halo filled in (zeros on a single
+        device).  This is the hot loop; all slicing is static."""
+        y = None
+        for k, off in enumerate(self.offsets):
+            xk = jax.lax.slice_in_dim(x_ext, hw + off, hw + off + self.Np)
+            term = self.vals[k] * xk
+            y = term if y is None else y + term
+        return y
+
+    def extend(self, x: jnp.ndarray, hw: int | None = None) -> jnp.ndarray:
+        """Zero-pad x (Np,) to the extended layout."""
+        hw = self.halo_width if hw is None else hw
+        z = jnp.zeros((hw,), dtype=x.dtype)
+        return jnp.concatenate([z, x, z])
+
+    def spmv(self, x: jnp.ndarray) -> jnp.ndarray:
+        """y = A @ x for a single-device operator; x, y are (Np,)."""
+        hw = self.halo_width
+        return self.spmv_ext(self.extend(x, hw), hw)
+
+    def flops_per_spmv(self) -> int:
+        return 2 * self.nnz
+
+    def bytes_per_spmv(self) -> int:
+        isz = self.vals.dtype.itemsize
+        return (self.vals.size + 2 * self.Np) * isz

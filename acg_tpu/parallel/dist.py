@@ -1,0 +1,105 @@
+"""Distributed operators: per-device SpMV closures used inside shard_map.
+
+The analogue of the reference's owned-block/interface-block operator split
+(symcsrmatrix.h:249-292, built in acgsymcsrmatrix_dsymv_init): each device
+computes its owned rows from (a) the owned part of x and (b) the ghost
+entries delivered by the halo exchange.  The split keeps the interior
+contribution independent of the halo so XLA's scheduler can overlap the
+collective with interior compute (the commstream/stream overlap of
+cgcuda.c:855-899, done by the compiler instead of two CUDA streams).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .halo import allgather_halo, stencil_halo
+from .mesh import AXIS
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class StencilPlan:
+    """Static metadata for the banded ghost-zone operator."""
+
+    offsets: tuple[int, ...]
+    N: int            # logical rows
+    nparts: int
+    L: int            # rows per device (padded)
+    hw: int           # halo width = max |offset|
+
+    @property
+    def Ng(self) -> int:
+        return self.nparts * self.L
+
+
+def make_stencil_plan(offsets, N: int, nparts: int, pad_to: int = 256) -> StencilPlan:
+    offsets = tuple(int(o) for o in np.asarray(offsets))
+    hw = max(max(abs(o) for o in offsets), 1)
+    L = _round_up(-(-N // nparts), pad_to)
+    if hw > L:
+        raise ValueError(
+            f"halo width {hw} exceeds rows-per-device {L}; "
+            f"use fewer parts or the general operator")
+    return StencilPlan(offsets=offsets, N=N, nparts=nparts, L=L, hw=hw)
+
+
+def pad_stencil_operand(plan: StencilPlan, vals: np.ndarray) -> np.ndarray:
+    """(K, N) host slabs → (K, Ng) padded for sharding over the mesh."""
+    K, N = vals.shape
+    assert N == plan.N
+    return np.pad(vals, ((0, 0), (0, plan.Ng - N)))
+
+
+def pad_stencil_vector(plan: StencilPlan, x: np.ndarray) -> np.ndarray:
+    return np.pad(np.asarray(x), (0, plan.Ng - x.shape[0]))
+
+
+def stencil_spmv_local(plan: StencilPlan, vals_l: jnp.ndarray,
+                       x_own: jnp.ndarray, axis: str = AXIS) -> jnp.ndarray:
+    """Per-device banded SpMV with ring halo (runs inside shard_map).
+
+    vals_l: (K, L) local diagonal slabs, x_own: (L,).  The device's rows are
+    a contiguous slice of the global banded matrix, so its SpMV is the
+    row-slice of the global DIA product over x_ext = [left|own|right].
+    """
+    hw = plan.hw
+    left_ext, right_ext = stencil_halo(x_own, hw, plan.nparts, axis)
+    x_ext = jnp.concatenate([left_ext, x_own, right_ext])
+    y = None
+    for k, off in enumerate(plan.offsets):
+        xk = lax.slice_in_dim(x_ext, hw + off, hw + off + plan.L)
+        term = vals_l[k] * xk
+        y = term if y is None else y + term
+    return y
+
+
+@dataclasses.dataclass(frozen=True)
+class GeneralPlanStatic:
+    """Static shape info for the general partitioned operator."""
+
+    N: int
+    nparts: int
+    L: int
+    G: int
+    S: int
+
+
+def general_spmv_local(static: GeneralPlanStatic,
+                       own_colidx, own_vals, ghost_colidx, ghost_vals,
+                       send_idx, ghost_src_dev, ghost_src_slot,
+                       x_own: jnp.ndarray, axis: str = AXIS) -> jnp.ndarray:
+    """Per-device general SpMV: owned-block ELL + interface-block ELL over
+    the ghost buffer filled by the all-gather halo."""
+    ghosts = allgather_halo(x_own, send_idx, ghost_src_dev, ghost_src_slot, axis)
+    y_own = jnp.sum(own_vals * jnp.take(x_own, own_colidx, axis=0), axis=0)
+    y_gst = jnp.sum(ghost_vals * jnp.take(ghosts, ghost_colidx, axis=0), axis=0)
+    return y_own + y_gst

@@ -1,0 +1,350 @@
+"""Conjugate-gradient solvers: classic and pipelined (Chronopoulos/Gear).
+
+The TPU execution model collapses the reference's four solver variants
+(host CG cg.c:198-377, CUDA host-driven CG cgcuda.c:403, and the monolithic
+device-side kernels cg-kernels-cuda.cu:627-970/1316-1711) into compiled
+`lax.while_loop` programs: the host launches once and control does not
+return until convergence — exactly the semantics of the reference's
+device-initiated NVSHMEM kernels, delivered by the compiler instead of a
+hand-written persistent kernel.
+
+Both loops are parametrized over the SpMV closure and a reduction hook, so
+the single-device and `shard_map`-distributed solvers share the exact same
+iteration bodies (the distributed layer injects halo-exchanging SpMVs and
+`psum` reductions).
+
+Iteration structure parity:
+  * classic:   one SpMV, two scalar reductions per iteration (p·t and r·r,
+               matching cgcuda.c:855-1054), convergence test after the
+               x/r update.
+  * pipelined: one SpMV and ONE stacked 2-element reduction (γ=r·r, δ=w·r)
+               per iteration, Gear/Chronopoulos recurrences exactly as the
+               reference's fused kernel (cg-kernels-cuda.cu:187-269);
+               convergence tested on γ before the next update is applied
+               (cgcuda.c:1793-1806).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.blas1 import dot, dot2, nrm2sqr
+
+
+@dataclasses.dataclass(frozen=True)
+class CGOptions:
+    """Stopping criteria and limits (reference defaults, acg-cuda.c:489-530)."""
+
+    max_iterations: int = 100
+    diff_atol: float = 0.0
+    diff_rtol: float = 0.0
+    residual_atol: float = 0.0
+    residual_rtol: float = 1.0e-9
+    dot_dtype: str = "float64"
+
+    @property
+    def needs_diff(self) -> bool:
+        return self.diff_atol > 0 or self.diff_rtol > 0
+
+
+@dataclasses.dataclass
+class SolveInfo:
+    """Solver outcome (struct acgsolver stats analogue, cg.h:60-98)."""
+
+    niterations: int
+    converged: bool
+    bnrm2: float
+    r0nrm2: float
+    rnrm2: float
+    x0nrm2: float = 0.0
+    dxnrm2: float = 0.0
+    residual_history: np.ndarray | None = None
+
+
+def _converged(rnrm2sqr, dxnrm2sqr, bnrm2sqr, x0nrm2sqr, opt: CGOptions):
+    """Any enabled criterion triggers (cg.c stopping criteria; flags are
+    static Python floats so disabled branches compile away)."""
+    c = jnp.bool_(False)
+    if opt.residual_atol > 0:
+        c = c | (rnrm2sqr < opt.residual_atol**2)
+    if opt.residual_rtol > 0:
+        c = c | (rnrm2sqr < (opt.residual_rtol**2) * bnrm2sqr)
+    if opt.diff_atol > 0:
+        c = c | (dxnrm2sqr < opt.diff_atol**2)
+    if opt.diff_rtol > 0:
+        c = c | (dxnrm2sqr < (opt.diff_rtol**2) * x0nrm2sqr)
+    return c
+
+
+# ---------------------------------------------------------------------------
+# Classic CG
+
+
+def cg_loop(spmv: Callable, b, x0, opt: CGOptions,
+            reduce_fn: Callable = lambda v: v):
+    """Fused classic CG. Returns (x, scalars) where scalars is a dict of
+    device scalars (niterations, converged, bnrm2sqr, r0nrm2sqr, rnrm2sqr,
+    x0nrm2sqr, dxnrm2sqr).
+
+    ``reduce_fn`` sums a scalar or small vector across devices (identity on
+    one device, ``psum`` when called under shard_map).
+    """
+    dd = jnp.dtype(opt.dot_dtype)
+    vdtype = b.dtype
+
+    bnrm2sqr = reduce_fn(nrm2sqr(b, dd))
+    x0nrm2sqr = reduce_fn(nrm2sqr(x0, dd))
+    r = b - spmv(x0)
+    gamma0 = reduce_fn(nrm2sqr(r, dd))        # γ = r·r (reused for α numerator)
+    p = r
+
+    def cond(state):
+        x, r, p, gamma, dxn2, k, conv = state
+        return (k < opt.max_iterations) & jnp.logical_not(conv)
+
+    def body(state):
+        x, r, p, gamma, dxn2, k, conv = state
+        t = spmv(p)
+        pdott = reduce_fn(dot(p, t, dd))
+        alpha = gamma / pdott
+        x = x + (alpha.astype(vdtype)) * p
+        r = r - (alpha.astype(vdtype)) * t
+        gamma_new = reduce_fn(nrm2sqr(r, dd))
+        if opt.needs_diff:
+            pn2 = reduce_fn(nrm2sqr(p, dd))
+            dxn2 = alpha * alpha * pn2
+        conv = _converged(gamma_new, dxn2, bnrm2sqr, x0nrm2sqr, opt)
+        beta = gamma_new / gamma
+        p = r + (beta.astype(vdtype)) * p
+        return (x, r, p, gamma_new, dxn2, k + 1, conv)
+
+    dxn2_0 = jnp.array(jnp.inf, dd)
+    conv0 = _converged(gamma0, dxn2_0, bnrm2sqr, x0nrm2sqr, opt)
+    state = (x0, r, p, gamma0, dxn2_0, jnp.int32(0), conv0)
+    x, r, p, gamma, dxn2, k, conv = jax.lax.while_loop(cond, body, state)
+    scalars = dict(niterations=k, converged=conv,
+                   bnrm2sqr=bnrm2sqr, r0nrm2sqr=gamma0, rnrm2sqr=gamma,
+                   x0nrm2sqr=x0nrm2sqr, dxnrm2sqr=dxn2)
+    return x, scalars
+
+
+def cg_history_scan(spmv: Callable, b, x0, opt: CGOptions,
+                    reduce_fn: Callable = lambda v: v, niters: int | None = None):
+    """Classic CG for a fixed iteration count via lax.scan, recording the
+    residual norm each iteration (the residual-history regression oracle,
+    SURVEY.md §4.2).  Updates freeze once converged so the history is flat
+    after convergence."""
+    dd = jnp.dtype(opt.dot_dtype)
+    vdtype = b.dtype
+    n = opt.max_iterations if niters is None else niters
+
+    bnrm2sqr = reduce_fn(nrm2sqr(b, dd))
+    x0nrm2sqr = reduce_fn(nrm2sqr(x0, dd))
+    r = b - spmv(x0)
+    gamma0 = reduce_fn(nrm2sqr(r, dd))
+    conv0 = _converged(gamma0, jnp.array(jnp.inf, dd), bnrm2sqr, x0nrm2sqr, opt)
+
+    def step(state, _):
+        x, r, p, gamma, k, conv = state
+        t = spmv(p)
+        pdott = reduce_fn(dot(p, t, dd))
+        alpha = jnp.where(conv, 0.0, gamma / pdott)
+        x = x + alpha.astype(vdtype) * p
+        r = r - alpha.astype(vdtype) * t
+        gamma_new = jnp.where(conv, gamma, reduce_fn(nrm2sqr(r, dd)))
+        conv_new = conv | _converged(gamma_new, jnp.array(jnp.inf, dd),
+                                     bnrm2sqr, x0nrm2sqr, opt)
+        beta = jnp.where(conv, 0.0, gamma_new / gamma)
+        p = r + beta.astype(vdtype) * p
+        k = k + jnp.where(conv, 0, 1).astype(jnp.int32)
+        return (x, r, p, gamma_new, k, conv_new), jnp.sqrt(gamma_new)
+
+    state0 = (x0, r, r, gamma0, jnp.int32(0), conv0)  # p0 = r0
+    (x, r, p, gamma, k, conv), hist = jax.lax.scan(step, state0, None, length=n)
+    scalars = dict(niterations=k, converged=conv, bnrm2sqr=bnrm2sqr,
+                   r0nrm2sqr=gamma0, rnrm2sqr=gamma,
+                   x0nrm2sqr=x0nrm2sqr,
+                   dxnrm2sqr=jnp.array(jnp.inf, dd))
+    return x, scalars, hist
+
+
+# ---------------------------------------------------------------------------
+# Pipelined CG (Gear/Chronopoulos single-reduction variant)
+
+
+def pipelined_cg_loop(spmv: Callable, b, x0, opt: CGOptions,
+                      reduce_fn: Callable = lambda v: v):
+    """Fused pipelined CG: one SpMV + one 2-element reduction per iteration.
+
+    Recurrences (cg-kernels-cuda.cu:187-269):
+        β = γ/γ_prev          (0 at k=0)
+        α = γ/(δ − βγ/α_prev) (γ/δ at k=0)
+        z = q + βz ; t = w + βt ; p = r + βp
+        x += αp ; r −= αt ; w −= αz
+    where q = Aw, and (γ, δ) = (r·r, w·r) are reduced together.
+    """
+    dd = jnp.dtype(opt.dot_dtype)
+    vdtype = b.dtype
+
+    bnrm2sqr = reduce_fn(nrm2sqr(b, dd))
+    x0nrm2sqr = reduce_fn(nrm2sqr(x0, dd))
+    r = b - spmv(x0)
+    w = spmv(r)
+    gd0 = reduce_fn(dot2(r, r, w, r, dd))
+    gamma0, delta0 = gd0[0], gd0[1]
+
+    zeros = jnp.zeros_like(b)
+
+    def cond(state):
+        (x, r, w, z, t, p, gamma, delta, gprev, aprev, dxn2, k, conv) = state
+        return (k < opt.max_iterations) & jnp.logical_not(conv)
+
+    def body(state):
+        (x, r, w, z, t, p, gamma, delta, gprev, aprev, dxn2, k, conv) = state
+        q = spmv(w)
+        beta = jnp.where(k == 0, jnp.array(0.0, dd), gamma / gprev)
+        alpha = gamma / (delta - beta * gamma / aprev)
+        ab, bb = alpha.astype(vdtype), beta.astype(vdtype)
+        z = q + bb * z
+        t = w + bb * t
+        p = r + bb * p
+        x = x + ab * p
+        r = r - ab * t
+        w = w - ab * z
+        gd = reduce_fn(dot2(r, r, w, r, dd))
+        gamma_new, delta_new = gd[0], gd[1]
+        if opt.needs_diff:
+            pn2 = reduce_fn(nrm2sqr(p, dd))
+            dxn2 = alpha * alpha * pn2
+        conv = _converged(gamma_new, dxn2, bnrm2sqr, x0nrm2sqr, opt)
+        return (x, r, w, z, t, p, gamma_new, delta_new, gamma, alpha,
+                dxn2, k + 1, conv)
+
+    dxn2_0 = jnp.array(jnp.inf, dd)
+    conv0 = _converged(gamma0, dxn2_0, bnrm2sqr, x0nrm2sqr, opt)
+    state = (x0, r, w, zeros, zeros, zeros, gamma0, delta0,
+             jnp.array(1.0, dd), jnp.array(1.0, dd), dxn2_0,
+             jnp.int32(0), conv0)
+    out = jax.lax.while_loop(cond, body, state)
+    (x, r, w, z, t, p, gamma, delta, gprev, aprev, dxn2, k, conv) = out
+    scalars = dict(niterations=k, converged=conv,
+                   bnrm2sqr=bnrm2sqr, r0nrm2sqr=gamma0, rnrm2sqr=gamma,
+                   x0nrm2sqr=x0nrm2sqr, dxnrm2sqr=dxn2)
+    return x, scalars
+
+
+def pipelined_cg_history_scan(spmv: Callable, b, x0, opt: CGOptions,
+                              reduce_fn: Callable = lambda v: v,
+                              niters: int | None = None):
+    """Pipelined CG with per-iteration residual history (fixed length)."""
+    dd = jnp.dtype(opt.dot_dtype)
+    vdtype = b.dtype
+    n = opt.max_iterations if niters is None else niters
+
+    bnrm2sqr = reduce_fn(nrm2sqr(b, dd))
+    x0nrm2sqr = reduce_fn(nrm2sqr(x0, dd))
+    r = b - spmv(x0)
+    w = spmv(r)
+    gd0 = reduce_fn(dot2(r, r, w, r, dd))
+    gamma0, delta0 = gd0[0], gd0[1]
+    zeros = jnp.zeros_like(b)
+    conv0 = _converged(gamma0, jnp.array(jnp.inf, dd), bnrm2sqr, x0nrm2sqr, opt)
+
+    def step(state, _):
+        (x, r, w, z, t, p, gamma, delta, gprev, aprev, k, conv) = state
+        q = spmv(w)
+        beta = jnp.where(k == 0, jnp.array(0.0, dd), gamma / gprev)
+        alpha = jnp.where(conv, jnp.array(0.0, dd),
+                          gamma / (delta - beta * gamma / aprev))
+        ab, bb = alpha.astype(vdtype), beta.astype(vdtype)
+        z = q + bb * z
+        t = w + bb * t
+        p = r + bb * p
+        x = x + ab * p
+        r = r - ab * t
+        w = w - ab * z
+        gd = reduce_fn(dot2(r, r, w, r, dd))
+        gamma_new = jnp.where(conv, gamma, gd[0])
+        delta_new = jnp.where(conv, delta, gd[1])
+        conv_new = conv | _converged(gamma_new, jnp.array(jnp.inf, dd),
+                                     bnrm2sqr, x0nrm2sqr, opt)
+        gprev_new = jnp.where(conv, gprev, gamma)
+        aprev_new = jnp.where(conv, aprev, alpha)
+        k = k + jnp.where(conv, 0, 1).astype(jnp.int32)
+        return (x, r, w, z, t, p, gamma_new, delta_new, gprev_new,
+                aprev_new, k, conv_new), jnp.sqrt(gamma_new)
+
+    state0 = (x0, r, w, zeros, zeros, zeros, gamma0, delta0,
+              jnp.array(1.0, dd), jnp.array(1.0, dd), jnp.int32(0), conv0)
+    (x, r, w, z, t, p, gamma, delta, gprev, aprev, k, conv), hist = \
+        jax.lax.scan(step, state0, None, length=n)
+    scalars = dict(niterations=k, converged=conv, bnrm2sqr=bnrm2sqr,
+                   r0nrm2sqr=gamma0, rnrm2sqr=gamma, x0nrm2sqr=x0nrm2sqr,
+                   dxnrm2sqr=jnp.array(jnp.inf, dd))
+    return x, scalars, hist
+
+
+# ---------------------------------------------------------------------------
+# Single-device driver
+
+
+METHODS = ("cg", "pipelined")
+
+
+def solve(op, b: np.ndarray, x0: np.ndarray | None = None,
+          opt: CGOptions = CGOptions(), method: str = "cg",
+          history: bool = False):
+    """Solve A x = b on the current default device.
+
+    ``op`` is a DiaOperator/EllOperator (any object with .spmv/.N/.Np).
+    ``b``/``x0`` are host arrays of length N.  Returns (x (N,) numpy,
+    SolveInfo)."""
+    if method not in METHODS:
+        raise ValueError(f"unknown method {method!r}; expected one of {METHODS}")
+    N, Np = op.N, op.Np
+    vdtype = op.vals.dtype if hasattr(op, "vals") else jnp.float64
+    bp = jnp.zeros((Np,), vdtype).at[:N].set(jnp.asarray(b, vdtype))
+    if x0 is None:
+        x0p = jnp.zeros((Np,), vdtype)
+    else:
+        x0p = jnp.zeros((Np,), vdtype).at[:N].set(jnp.asarray(x0, vdtype))
+
+    spmv = op.spmv
+
+    if history:
+        fn = cg_history_scan if method == "cg" else pipelined_cg_history_scan
+
+        @jax.jit
+        def run(op_, bp_, x0p_):
+            return fn(op_.spmv, bp_, x0p_, opt)
+
+        x, scalars, hist = run(op, bp, x0p)
+        hist = np.asarray(hist)
+    else:
+        fn = cg_loop if method == "cg" else pipelined_cg_loop
+
+        @jax.jit
+        def run(op_, bp_, x0p_):
+            return fn(op_.spmv, bp_, x0p_, opt)
+
+        x, scalars = run(op, bp, x0p)
+        hist = None
+
+    scalars = jax.device_get(scalars)
+    info = SolveInfo(
+        niterations=int(scalars["niterations"]),
+        converged=bool(scalars["converged"]),
+        bnrm2=float(np.sqrt(scalars["bnrm2sqr"])),
+        r0nrm2=float(np.sqrt(scalars["r0nrm2sqr"])),
+        rnrm2=float(np.sqrt(scalars["rnrm2sqr"])),
+        x0nrm2=float(np.sqrt(scalars["x0nrm2sqr"])),
+        dxnrm2=float(np.sqrt(scalars["dxnrm2sqr"])) if np.isfinite(scalars["dxnrm2sqr"]) else 0.0,
+        residual_history=hist,
+    )
+    return np.asarray(x[:N]), info
