@@ -1,0 +1,263 @@
+"""`acg-tpu` — benchmark/driver CLI (cuda/acg-cuda.c analogue).
+
+Flag-for-flag port of the reference driver's interface
+(acg-cuda.c:315-377) adapted to one comm backend (XLA collectives):
+
+    acg-tpu [OPTION..] A [b] [x0]
+
+Differences from the reference, by design:
+  * --solver: acg / acg-pipelined are the fused compiled solvers (the
+    device-initiated execution model); acg-host / acg-host-pipelined are
+    the host-stepped variants (the reference's default host-driven mode);
+    scipy (alias: petsc) and jax-ref are external-library baselines.
+  * --comm: none | xla (aliases mpi/nccl/nvshmem are accepted for script
+    parity and map to xla — SURVEY.md §5.8: one backend replaces five).
+  * --nparts: number of mesh devices (the reference gets this from MPI).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+VERSION_STRING = "acg-tpu 0.1.0 (TPU-native re-design of aCG 1.0.0 capabilities)"
+
+SOLVERS = ("acg", "acg-pipelined", "acg-host", "acg-host-pipelined",
+           "scipy", "petsc", "jax-ref")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="acg-tpu",
+        description="Solve a linear system Ax=b with the conjugate gradient "
+                    "(CG) method on TPU for a matrix A and right-hand side b.")
+    p.add_argument("A", help="path to Matrix Market file for a matrix A")
+    p.add_argument("b", nargs="?", default=None,
+                   help="optional path to Matrix Market file for a right-hand side b")
+    p.add_argument("x0", nargs="?", default=None,
+                   help="optional path to Matrix Market file for an initial guess x0")
+    g = p.add_argument_group("input options")
+    g.add_argument("-z", "--gzip", "--gunzip", "--ungzip", action="store_true",
+                   dest="gzip", help="filter files through gzip")
+    g.add_argument("--binary", action="store_true",
+                   help="read Matrix Market files in binary format")
+    g = p.add_argument_group("partitioning options")
+    g.add_argument("--partition", metavar="FILE", default=None,
+                   help="read partition vector from Matrix Market file")
+    g.add_argument("--binary-partition", action="store_true",
+                   help="read partition vector in binary format")
+    g.add_argument("--partition-method", default="contiguous",
+                   choices=("contiguous", "bfs", "metis-like"),
+                   help="partitioner when no --partition file is given [contiguous]")
+    g.add_argument("--nparts", type=int, default=1,
+                   help="number of parts/devices (1 = single chip) [1]")
+    g.add_argument("--seed", type=int, default=0, help="random number seed [0]")
+    g = p.add_argument_group("solver options")
+    g.add_argument("--solver", default="acg", choices=SOLVERS,
+                   help="solver variant [acg]")
+    g.add_argument("--max-iterations", type=int, default=100, metavar="N",
+                   help="maximum number of iterations [100]")
+    g.add_argument("--diff-atol", type=float, default=0.0, metavar="TOL",
+                   help="stop when ||x_{k+1}-x_k|| < TOL [0]")
+    g.add_argument("--diff-rtol", type=float, default=0.0, metavar="TOL",
+                   help="stop when ||x_{k+1}-x_k||/||x_0|| < TOL [0]")
+    g.add_argument("--residual-atol", type=float, default=0.0, metavar="TOL",
+                   help="stop when ||b-Ax|| < TOL [0]")
+    g.add_argument("--residual-rtol", type=float, default=1e-9, metavar="TOL",
+                   help="stop when ||b-Ax||/||b|| < TOL [1e-9]")
+    g.add_argument("--epsilon", type=float, default=0.0, metavar="TOL",
+                   help="add TOL to the diagonal of A [0]")
+    g.add_argument("--warmup", type=int, default=10, metavar="N",
+                   help="perform N warmup iterations (one warmup solve) [10]")
+    g.add_argument("--dtype", default="float64",
+                   choices=("float64", "float32"),
+                   help="vector/matrix storage dtype [float64]")
+    g.add_argument("--format", default="auto", choices=("auto", "dia", "ell"),
+                   help="operator format [auto]")
+    g = p.add_argument_group("communication options")
+    g.add_argument("--comm", default="none",
+                   choices=("none", "xla", "mpi", "nccl", "nvshmem"),
+                   help="none, or xla (mpi/nccl/nvshmem are accepted aliases) [none]")
+    g = p.add_argument_group("verification options")
+    g.add_argument("--manufactured-solution", action="store_true",
+                   help="use a manufactured solution and right-hand side")
+    g = p.add_argument_group("output options")
+    g.add_argument("--numfmt", default=None, metavar="FMT",
+                   help="printf format string for numerical output values")
+    g.add_argument("--output-comm-matrix", action="store_true",
+                   help="print communication matrix to standard output")
+    g.add_argument("-o", "--output", default=None, metavar="FILE",
+                   help="write solution vector to FILE instead of stdout")
+    g.add_argument("-v", "--verbose", action="count", default=0,
+                   help="be more verbose")
+    g.add_argument("-q", "--quiet", action="store_true", help="suppress output")
+    p.add_argument("--version", action="version", version=VERSION_STRING)
+    return p
+
+
+def log(args, msg: str) -> None:
+    if args.verbose:
+        print(msg, file=sys.stderr)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import acg_tpu  # noqa: F401 (x64)
+    from ..core.csr import SymCSRMatrix
+    from ..core.dia import DiaOperator
+    from ..core.ell import EllOperator
+    from ..io.mtxfile import (read_mtx, read_partition, vector_to_mtx,
+                              write_mtx, MtxFile)
+    from ..partition.graph import build_partitioned_matrix
+    from ..partition.partitioner import partition as make_partition
+    from ..solvers.cg import CGOptions, solve
+    from ..solvers.dist_cg import solve_dist_general, solve_dist_stencil
+    from ..solvers.host_cg import solve_host_stepped
+    from ..solvers.reference import solve_jax_ref, solve_scipy
+    from ..solvers.stats import format_report
+    from ..timing import PhaseTimer
+
+    timer = PhaseTimer()
+    opt = CGOptions(max_iterations=args.max_iterations,
+                    diff_atol=args.diff_atol, diff_rtol=args.diff_rtol,
+                    residual_atol=args.residual_atol,
+                    residual_rtol=args.residual_rtol)
+
+    with timer.phase("read"):
+        mtx = read_mtx(args.A, gzip=args.gzip or None, binary=args.binary)
+    log(args, f"read {args.A}: {mtx.nrows}x{mtx.ncols}, {mtx.nnz} entries "
+              f"({timer.phases['read']:.3f} s)")
+
+    with timer.phase("assemble"):
+        A = SymCSRMatrix.from_mtx(mtx)
+    log(args, f"assembled symmetric CSR: N={A.N}, stored nnz={A.nnz_stored}")
+
+    N = A.N
+    rng = np.random.default_rng(args.seed)
+
+    # --- right-hand side / initial guess (acg-cuda.c:1820-2115) -----------
+    xstar = None
+    if args.manufactured_solution:
+        xstar = rng.standard_normal(N)
+        xstar /= np.linalg.norm(xstar)
+        with timer.phase("rhs"):
+            b = A.matvec(xstar, epsilon=args.epsilon)
+    elif args.b is not None:
+        b = read_mtx(args.b, gzip=args.gzip or None,
+                     binary=args.binary).to_dense_vector()
+    else:
+        b = np.ones(N)
+    x0 = None
+    if args.x0 is not None:
+        x0 = read_mtx(args.x0, gzip=args.gzip or None,
+                      binary=args.binary).to_dense_vector()
+
+    nparts = args.nparts if args.comm != "none" or args.nparts > 1 else 1
+    dia = None
+    with timer.phase("format"):
+        if args.format in ("auto", "dia"):
+            dia = A.to_dia_arrays(epsilon=args.epsilon)
+            if dia is None and args.format == "dia":
+                print("error: matrix has too many diagonals for --format dia",
+                      file=sys.stderr)
+                return 1
+
+    # --- solve --------------------------------------------------------------
+    def run_once():
+        if args.solver in ("scipy", "petsc"):
+            return solve_scipy(A.to_scipy_full(args.epsilon), b, x0, opt)
+        if args.solver == "jax-ref":
+            op = _make_op()
+            return solve_jax_ref(op, b, x0, opt)
+        method = "pipelined" if "pipelined" in args.solver else "cg"
+        if nparts > 1:
+            if dia is not None and args.partition is None \
+                    and args.partition_method == "contiguous":
+                offsets, vals = dia
+                return solve_dist_stencil(offsets, vals, b, nparts=nparts,
+                                          x0=x0, opt=opt, method=method,
+                                          dtype=args.dtype)
+            with timer.phase("partition"):
+                if args.partition:
+                    part = read_partition(args.partition,
+                                          binary=args.binary_partition)
+                else:
+                    full = A.to_scipy_full(args.epsilon)
+                    part = make_partition(full.indptr, full.indices, nparts,
+                                          method=args.partition_method,
+                                          seed=args.seed)
+                pm = build_partitioned_matrix(A.to_scipy_full(args.epsilon), part)
+            if args.output_comm_matrix:
+                _print_comm_matrix(pm.comm_matrix)
+            return solve_dist_general(pm, b, x0=x0, opt=opt, method=method,
+                                      dtype=args.dtype)
+        op = _make_op()
+        if args.solver.startswith("acg-host"):
+            return solve_host_stepped(op, b, x0, opt, method)
+        return solve(op, b, x0, opt, method)
+
+    _op_cache = {}
+
+    def _make_op():
+        if "op" not in _op_cache:
+            if dia is not None and args.format != "ell":
+                offsets, vals = dia
+                _op_cache["op"] = DiaOperator.from_arrays(offsets, vals,
+                                                          dtype=args.dtype)
+            else:
+                ci, v = A.to_ell_arrays(epsilon=args.epsilon)
+                _op_cache["op"] = EllOperator.from_arrays(ci, v, dtype=args.dtype)
+        return _op_cache["op"]
+
+    def _print_comm_matrix(cm):
+        coo = [(i, j, int(cm[i, j])) for i in range(cm.shape[0])
+               for j in range(cm.shape[1]) if cm[i, j]]
+        m = MtxFile(object="matrix", format="coordinate", field="integer",
+                    symmetry="general", nrows=cm.shape[0], ncols=cm.shape[1],
+                    nnz=len(coo),
+                    rowidx=np.array([c[0] for c in coo], dtype=np.int64),
+                    colidx=np.array([c[1] for c in coo], dtype=np.int64),
+                    data=np.array([c[2] for c in coo], dtype=np.int64))
+        write_mtx(sys.stdout.buffer, m)
+
+    if args.warmup > 0 and args.solver.startswith("acg") \
+            and not args.solver.startswith("acg-host"):
+        with timer.phase("warmup"):
+            run_once()
+        log(args, f"warmup solve (compile) done ({timer.phases['warmup']:.3f} s)")
+
+    with timer.phase("solve"):
+        x, info = run_once()
+    tsolve = timer.phases["solve"]
+    log(args, f"solve done in {tsolve:.6f} s, {info.niterations} iterations, "
+              f"converged={info.converged}")
+
+    # --- report (acgsolver_fwrite format) -----------------------------------
+    if not args.quiet or args.verbose:
+        try:
+            op = _make_op()
+            report = format_report(op, info, opt, args.solver, tsolve,
+                                   nparts=nparts)
+            print(report, file=sys.stderr)
+        except Exception as e:  # stats must never break the solve output
+            print(f"(stats unavailable: {e})", file=sys.stderr)
+
+    if xstar is not None:
+        err = np.linalg.norm(x - xstar)
+        err0 = np.linalg.norm((x0 if x0 is not None else np.zeros(N)) - xstar)
+        print(f"manufactured solution error 2-norm: {err:.17g}", file=sys.stderr)
+        print(f"initial error 2-norm: {err0:.17g}", file=sys.stderr)
+
+    if not args.quiet:
+        dest = args.output if args.output else sys.stdout.buffer
+        write_mtx(dest, vector_to_mtx(x), numfmt=args.numfmt,
+                  comments=["% solution vector x computed by acg-tpu"])
+    return 0 if info.converged or args.max_iterations == 0 else 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

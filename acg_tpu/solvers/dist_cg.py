@@ -1,0 +1,192 @@
+"""Distributed CG solvers over a device mesh.
+
+The reference's multi-GPU drivers (acgsolver[cuda]_solvempi and friends)
+partition rows via METIS, halo-exchange ghost entries before every SpMV,
+and all-reduce the dot products (cg.c:490-614, cgcuda.c:855-1054).  Here
+the *same* iteration bodies as the single-device solvers (solvers/cg.py)
+run inside one `shard_map` over a 1-D mesh:
+
+  * SpMV → per-device owned-rows SpMV with the halo exchange fused in
+    (parallel/dist.py), interior compute overlappable with the collective;
+  * scalar reductions → `lax.psum` over the mesh axis (classic CG: two
+    per iteration; pipelined: ONE stacked 2-element psum);
+  * the entire while_loop compiles into a single XLA program — collectives
+    scheduled on-chip with zero host round-trips, the device-initiated
+    execution model of cg-kernels-cuda.cu:627-970 as a compiler artifact.
+
+Two operator paths:
+  * stencil/banded (contiguous partition): DIA slabs + two-ppermute halo;
+  * general (any partition vector, e.g. METIS-style): ELL owned+interface
+    blocks + all-gather halo.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax, shard_map
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..parallel.dist import (GeneralPlanStatic, StencilPlan,
+                             general_spmv_local, make_stencil_plan,
+                             pad_stencil_operand, pad_stencil_vector,
+                             stencil_spmv_local)
+from ..parallel.mesh import AXIS, make_mesh
+from ..partition.graph import PartitionedMatrix, gather_vector, scatter_vector
+from .cg import (CGOptions, SolveInfo, cg_history_scan, cg_loop,
+                 pipelined_cg_history_scan, pipelined_cg_loop)
+
+
+def _info_from_scalars(scalars, hist=None) -> SolveInfo:
+    scalars = jax.device_get(scalars)
+    dx = scalars["dxnrm2sqr"]
+    return SolveInfo(
+        niterations=int(scalars["niterations"]),
+        converged=bool(scalars["converged"]),
+        bnrm2=float(np.sqrt(scalars["bnrm2sqr"])),
+        r0nrm2=float(np.sqrt(scalars["r0nrm2sqr"])),
+        rnrm2=float(np.sqrt(scalars["rnrm2sqr"])),
+        x0nrm2=float(np.sqrt(scalars["x0nrm2sqr"])),
+        dxnrm2=float(np.sqrt(dx)) if np.isfinite(dx) else 0.0,
+        residual_history=None if hist is None else np.asarray(hist),
+    )
+
+
+def _loop_fns(method: str, history: bool):
+    if method == "cg":
+        return cg_history_scan if history else cg_loop
+    if method == "pipelined":
+        return pipelined_cg_history_scan if history else pipelined_cg_loop
+    raise ValueError(f"unknown method {method!r}")
+
+
+# ---------------------------------------------------------------------------
+# Stencil / banded path (contiguous partition)
+
+
+def build_stencil_dist(offsets, vals: np.ndarray, nparts: int | None = None,
+                       dtype=None, pad_to: int = 256, devices=None):
+    """Prepare mesh + plan + sharded operand for a banded operator.
+
+    Returns (mesh, plan, vals_sharded)."""
+    mesh = make_mesh(nparts, devices)
+    nparts = mesh.shape[AXIS]
+    K, N = np.asarray(vals).shape
+    plan = make_stencil_plan(offsets, N, nparts, pad_to)
+    vals_g = pad_stencil_operand(plan, np.asarray(vals))
+    if dtype is not None:
+        vals_g = vals_g.astype(dtype)
+    vals_sh = jax.device_put(vals_g, NamedSharding(mesh, P(None, AXIS)))
+    return mesh, plan, vals_sh
+
+
+def solve_dist_stencil(offsets, vals: np.ndarray, b: np.ndarray,
+                       nparts: int | None = None, x0: np.ndarray | None = None,
+                       opt: CGOptions = CGOptions(), method: str = "cg",
+                       history: bool = False, dtype=None, pad_to: int = 256,
+                       devices=None):
+    """Distributed solve of a banded system (Config 3/4 of BASELINE.md).
+
+    Returns (x (N,) numpy, SolveInfo)."""
+    mesh, plan, vals_sh = build_stencil_dist(offsets, vals, nparts, dtype,
+                                             pad_to, devices)
+    vdtype = vals_sh.dtype
+    b_g = pad_stencil_vector(plan, np.asarray(b)).astype(vdtype)
+    x0_g = (np.zeros(plan.Ng, dtype=vdtype) if x0 is None
+            else pad_stencil_vector(plan, np.asarray(x0)).astype(vdtype))
+    vsh = NamedSharding(mesh, P(AXIS))
+    b_sh = jax.device_put(b_g, vsh)
+    x0_sh = jax.device_put(x0_g, vsh)
+
+    fn = _loop_fns(method, history)
+
+    def local(vals_l, b_l, x0_l):
+        spmv = lambda xx: stencil_spmv_local(plan, vals_l, xx, AXIS)
+        red = lambda v: lax.psum(v, AXIS)
+        return fn(spmv, b_l, x0_l, opt, red)
+
+    scalar_spec = dict(niterations=P(), converged=P(), bnrm2sqr=P(),
+                       r0nrm2sqr=P(), rnrm2sqr=P(), x0nrm2sqr=P(),
+                       dxnrm2sqr=P())
+    out_specs = (P(AXIS), scalar_spec) if not history else \
+        (P(AXIS), scalar_spec, P())
+    run = jax.jit(shard_map(local, mesh=mesh,
+                            in_specs=(P(None, AXIS), P(AXIS), P(AXIS)),
+                            out_specs=out_specs))
+    out = run(vals_sh, b_sh, x0_sh)
+    if history:
+        x, scalars, hist = out
+        info = _info_from_scalars(scalars, hist)
+    else:
+        x, scalars = out
+        info = _info_from_scalars(scalars)
+    return np.asarray(x)[: plan.N], info
+
+
+# ---------------------------------------------------------------------------
+# General partitioned path (any partition vector)
+
+
+def solve_dist_general(pm: PartitionedMatrix, b: np.ndarray,
+                       x0: np.ndarray | None = None,
+                       opt: CGOptions = CGOptions(), method: str = "cg",
+                       history: bool = False, dtype=None, devices=None):
+    """Distributed solve with a general row partition (METIS-style).
+
+    ``pm`` comes from partition.graph.build_partitioned_matrix; ``b``/``x0``
+    are global (N,) vectors.  Returns (x (N,) numpy, SolveInfo)."""
+    mesh = make_mesh(pm.P, devices)
+    vdtype = np.dtype(dtype) if dtype is not None else np.float64
+    static = GeneralPlanStatic(N=pm.N, nparts=pm.P, L=pm.L, G=pm.G, S=pm.S)
+
+    stk = NamedSharding(mesh, P(AXIS))
+    own_ci = jax.device_put(pm.own_colidx, stk)
+    own_v = jax.device_put(pm.own_vals.astype(vdtype), stk)
+    gst_ci = jax.device_put(pm.ghost_colidx, stk)
+    gst_v = jax.device_put(pm.ghost_vals.astype(vdtype), stk)
+    send_idx = jax.device_put(pm.send_idx.astype(np.int32), stk)
+    g_dev = jax.device_put(pm.ghost_src_dev.astype(np.int32), stk)
+    g_slot = jax.device_put(pm.ghost_src_slot.astype(np.int32), stk)
+
+    b_l = jax.device_put(scatter_vector(pm, np.asarray(b)).astype(vdtype), stk)
+    x0_l = jax.device_put(
+        (np.zeros((pm.P, pm.L), vdtype) if x0 is None
+         else scatter_vector(pm, np.asarray(x0)).astype(vdtype)), stk)
+
+    fn = _loop_fns(method, history)
+
+    def local(oc, ov, gc, gv, si, gd, gs, b_, x0_):
+        # squeeze the per-device leading axis of stacked arrays
+        oc, ov, gc, gv = oc[0], ov[0], gc[0], gv[0]
+        si, gd, gs = si[0], gd[0], gs[0]
+        b_, x0_ = b_[0], x0_[0]
+        spmv = lambda xx: general_spmv_local(static, oc, ov, gc, gv,
+                                             si, gd, gs, xx, AXIS)
+        red = lambda v: lax.psum(v, AXIS)
+        out = fn(spmv, b_, x0_, opt, red)
+        if history:
+            x, scalars, hist = out
+            return x[None], scalars, hist
+        x, scalars = out
+        return x[None], scalars
+
+    scalar_spec = dict(niterations=P(), converged=P(), bnrm2sqr=P(),
+                       r0nrm2sqr=P(), rnrm2sqr=P(), x0nrm2sqr=P(),
+                       dxnrm2sqr=P())
+    in_specs = tuple([P(AXIS)] * 9)
+    out_specs = (P(AXIS), scalar_spec) if not history else \
+        (P(AXIS), scalar_spec, P())
+    run = jax.jit(shard_map(local, mesh=mesh, in_specs=in_specs,
+                            out_specs=out_specs))
+    out = run(own_ci, own_v, gst_ci, gst_v, send_idx, g_dev, g_slot, b_l, x0_l)
+    if history:
+        xl, scalars, hist = out
+        info = _info_from_scalars(scalars, hist)
+    else:
+        xl, scalars = out
+        info = _info_from_scalars(scalars)
+    x = gather_vector(pm, np.asarray(xl))
+    return x, info

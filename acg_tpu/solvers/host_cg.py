@@ -1,0 +1,123 @@
+"""Host-stepped CG: one jitted iteration per host round-trip.
+
+The reference's default solvers are host-driven — the CPU launches each
+iteration's kernels and performs the convergence test after an async D2H
+copy of the residual norm (acgsolvercuda_solvempi, cgcuda.c:855-1054).
+This module reproduces that execution model: a jitted step function, a
+Python loop, a device→host sync per iteration for the convergence branch.
+
+It exists as the comparison axis against the fused while_loop solvers
+(solvers/cg.py): on TPU the host round-trip costs orders of magnitude more
+than on a locally attached GPU, which is precisely the measurement that
+motivates the device-initiated design (SURVEY.md §5.8).  Use it for
+debugging and for the host-vs-device benchmark axis, not production.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.blas1 import dot, dot2, nrm2sqr
+from .cg import CGOptions, SolveInfo
+
+
+def _check(rnrm2, dxnrm2, bnrm2, x0nrm2, opt: CGOptions) -> bool:
+    if opt.residual_atol > 0 and rnrm2 < opt.residual_atol:
+        return True
+    if opt.residual_rtol > 0 and rnrm2 < opt.residual_rtol * bnrm2:
+        return True
+    if opt.diff_atol > 0 and dxnrm2 < opt.diff_atol:
+        return True
+    if opt.diff_rtol > 0 and x0nrm2 > 0 and dxnrm2 < opt.diff_rtol * x0nrm2:
+        return True
+    return False
+
+
+def solve_host_stepped(op, b: np.ndarray, x0: np.ndarray | None = None,
+                       opt: CGOptions = CGOptions(), method: str = "cg"):
+    """Host-driven solve; same semantics/result type as solvers.cg.solve."""
+    dd = jnp.dtype(opt.dot_dtype)
+    N, Np = op.N, op.Np
+    vdtype = op.vals.dtype if hasattr(op, "vals") else jnp.float64
+    bp = jnp.zeros((Np,), vdtype).at[:N].set(jnp.asarray(b, vdtype))
+    x = jnp.zeros((Np,), vdtype)
+    if x0 is not None:
+        x = x.at[:N].set(jnp.asarray(x0, vdtype))
+
+    spmv = jax.jit(lambda o, v: o.spmv(v))
+    bnrm2 = float(np.sqrt(jax.device_get(nrm2sqr(bp, dd))))
+    x0nrm2 = float(np.sqrt(jax.device_get(nrm2sqr(x, dd))))
+
+    r = bp - spmv(op, x)
+    gamma = float(jax.device_get(nrm2sqr(r, dd)))
+    r0nrm2 = float(np.sqrt(gamma))
+    dxnrm2 = float("inf")
+
+    if method == "cg":
+        p = r
+
+        @jax.jit
+        def step(op_, x_, r_, p_, gamma_):
+            t = op_.spmv(p_)
+            pdott = dot(p_, t, dd)
+            alpha = gamma_ / pdott
+            xn = x_ + alpha.astype(vdtype) * p_
+            rn = r_ - alpha.astype(vdtype) * t
+            gn = nrm2sqr(rn, dd)
+            pn2 = nrm2sqr(p_, dd)
+            beta = gn / gamma_
+            pnew = rn + beta.astype(vdtype) * p_
+            return xn, rn, pnew, gn, alpha * alpha * pn2
+
+        k = 0
+        converged = _check(r0nrm2, dxnrm2, bnrm2, x0nrm2, opt)
+        while not converged and k < opt.max_iterations:
+            x, r, p, g, dx2 = step(op, x, r, p, gamma)
+            gamma = float(jax.device_get(g))          # host decision point
+            dxnrm2 = float(np.sqrt(jax.device_get(dx2)))
+            k += 1
+            converged = _check(np.sqrt(gamma), dxnrm2, bnrm2, x0nrm2, opt)
+    elif method == "pipelined":
+        w = spmv(op, r)
+        gd = jax.device_get(dot2(r, r, w, r, dd))
+        gamma, delta = float(gd[0]), float(gd[1])
+        z = t_ = p = jnp.zeros_like(bp)
+        gprev = aprev = 1.0
+
+        @jax.jit
+        def step(op_, x_, r_, w_, z_, t__, p_, gamma_, delta_, gprev_, aprev_, k_):
+            q = op_.spmv(w_)
+            beta = jnp.where(k_ == 0, jnp.array(0.0, dd), gamma_ / gprev_)
+            alpha = gamma_ / (delta_ - beta * gamma_ / aprev_)
+            ab, bb = alpha.astype(vdtype), beta.astype(vdtype)
+            zn = q + bb * z_
+            tn = w_ + bb * t__
+            pn = r_ + bb * p_
+            xn = x_ + ab * pn
+            rn = r_ - ab * tn
+            wn = w_ - ab * zn
+            gd_ = dot2(rn, rn, wn, rn, dd)
+            return xn, rn, wn, zn, tn, pn, gd_, alpha
+
+        k = 0
+        converged = _check(np.sqrt(gamma), dxnrm2, bnrm2, x0nrm2, opt)
+        while not converged and k < opt.max_iterations:
+            x, r, w, z, t_, p, gd, alpha = step(
+                op, x, r, w, z, t_, p, gamma, delta, gprev, aprev, k)
+            gprev, aprev = gamma, float(jax.device_get(alpha))
+            gd = jax.device_get(gd)
+            gamma, delta = float(gd[0]), float(gd[1])
+            k += 1
+            converged = _check(np.sqrt(gamma), dxnrm2, bnrm2, x0nrm2, opt)
+    else:
+        raise ValueError(f"unknown method {method!r}")
+
+    info = SolveInfo(niterations=k, converged=converged, bnrm2=bnrm2,
+                     r0nrm2=r0nrm2, rnrm2=float(np.sqrt(gamma)),
+                     x0nrm2=x0nrm2,
+                     dxnrm2=dxnrm2 if np.isfinite(dxnrm2) else 0.0)
+    return np.asarray(x[:N]), info

@@ -1,0 +1,99 @@
+"""Headline benchmark: pipelined CG on the reference's benchmark matrix.
+
+Protocol parity (BASELINE.md): 2-D 5-point Poisson on an n=2048 grid
+(N=4,194,304 — matrices_generator/poisson.py; scripts/mpi_combined.sh:41),
+pipelined CG, f64 (the reference is double-precision end-to-end).
+
+Measurement: the attached TPU is reached through a tunnel with large fixed
+dispatch/sync overhead, so per-iteration time is obtained by differencing
+two fixed-iteration-count compiled solves (K2 − K1 iterations), which
+cancels launch/fetch constants exactly — both runs are a single XLA
+program each (no host in the loop).
+
+Output: ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is the fraction of the memory-roofline iteration time
+achieved (1.0 = speed of light), since the reference repo publishes no
+numbers (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np  # noqa: E402
+
+N_GRID = int(os.environ.get("ACG_BENCH_N", "2048"))
+K1, K2 = 50, 250
+DTYPE = os.environ.get("ACG_BENCH_DTYPE", "float64")
+HBM_GBPS = float(os.environ.get("ACG_BENCH_HBM_GBPS", "819"))  # v5e HBM
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    import acg_tpu  # noqa: F401
+    from acg_tpu.core.dia import DiaOperator
+    from acg_tpu.io.generators import poisson2d_dia
+    from acg_tpu.solvers.cg import CGOptions, pipelined_cg_loop
+
+    offsets, vals = poisson2d_dia(N_GRID, dtype=np.dtype(DTYPE))
+    op = DiaOperator.from_arrays(offsets, vals, pad_to=1024)
+    N, Np, K = op.N, op.Np, len(op.offsets)
+    rng = np.random.default_rng(0)
+    xstar = rng.standard_normal(N)
+    xstar /= np.linalg.norm(xstar)
+
+    vdt = jnp.dtype(DTYPE)
+    xs = jnp.zeros((Np,), vdt).at[:N].set(jnp.asarray(xstar, vdt))
+    b = op.spmv(xs)                      # manufactured RHS on device
+    x0 = jnp.zeros((Np,), vdt)
+
+    def make_run(iters):
+        opt = CGOptions(max_iterations=iters, residual_rtol=0.0,
+                        residual_atol=0.0)
+
+        @jax.jit
+        def run(op_, b_, x0_):
+            x, scalars = pipelined_cg_loop(op_.spmv, b_, x0_, opt)
+            return x[0], scalars["rnrm2sqr"]
+
+        return run
+
+    def timed(run):
+        # warmup + compile
+        r = run(op, b, x0)
+        _ = float(r[0]) + float(r[1])
+        t0 = time.perf_counter()
+        r = run(op, b, x0)
+        _ = float(r[0]) + float(r[1])   # force full execution through fetch
+        return time.perf_counter() - t0
+
+    t1 = timed(make_run(K1))
+    t2 = timed(make_run(K2))
+    per_iter = (t2 - t1) / (K2 - K1)
+
+    # Memory roofline per pipelined-CG iteration (f64 streams):
+    #   SpMV:  vals K·N + x_ext read N + y write N
+    #   fused updates: reads r,w,z,t,p,x,q (7N) + writes z,t,p,x,r,w (6N)
+    #   dots: reads r,w (2N, r reused)
+    s = np.dtype(DTYPE).itemsize
+    bytes_iter = (K * N + 2 * N + 13 * N + 2 * N) * s
+    roofline = bytes_iter / (HBM_GBPS * 1e9)
+    vs = roofline / per_iter if per_iter > 0 else 0.0
+
+    print(json.dumps({
+        "metric": f"poisson2d_n{N_GRID}_pipelined_cg_iteration_time",
+        "value": per_iter * 1e6,
+        "unit": "us/iteration",
+        "vs_baseline": round(vs, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,161 @@
+"""CLI driver tests (acg-cuda.c interface parity)."""
+
+import numpy as np
+import pytest
+
+from acg_tpu.cli import main as cli_main
+from acg_tpu.cli import mtx2bin as cli_mtx2bin
+from acg_tpu.cli import mtxpartition as cli_mtxpartition
+from acg_tpu.cli import poisson as cli_poisson
+from acg_tpu.io import read_mtx, read_partition, write_mtx
+from acg_tpu.io.generators import poisson2d_mtx
+
+
+@pytest.fixture
+def matrix_file(tmp_path):
+    p = tmp_path / "A.mtx"
+    write_mtx(p, poisson2d_mtx(12))
+    return p
+
+
+def test_solve_manufactured(matrix_file, tmp_path, capsys):
+    out = tmp_path / "x.mtx"
+    rc = cli_main.main([str(matrix_file), "--manufactured-solution",
+                        "--max-iterations", "500", "--residual-rtol", "1e-8",
+                        "--warmup", "0", "-o", str(out)])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "manufactured solution error 2-norm:" in err
+    assert "residual 2-norm:" in err
+    x = read_mtx(out).to_dense_vector()
+    assert x.shape == (144,)
+
+
+@pytest.mark.parametrize("solver", ["acg-pipelined", "acg-host", "scipy", "petsc"])
+def test_solver_variants(matrix_file, tmp_path, solver, capsys):
+    out = tmp_path / "x.mtx"
+    rc = cli_main.main([str(matrix_file), "--manufactured-solution",
+                        "--solver", solver, "--max-iterations", "500",
+                        "--residual-rtol", "1e-8", "--warmup", "0",
+                        "-o", str(out)])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "manufactured solution error 2-norm: " in err
+    val = float(err.split("manufactured solution error 2-norm: ")[1].splitlines()[0])
+    assert val < 1e-5
+
+
+def test_distributed_solve(matrix_file, tmp_path, capsys):
+    out = tmp_path / "x.mtx"
+    rc = cli_main.main([str(matrix_file), "--manufactured-solution",
+                        "--nparts", "4", "--comm", "xla",
+                        "--max-iterations", "500", "--residual-rtol", "1e-8",
+                        "--warmup", "0", "-o", str(out)])
+    assert rc == 0
+    val = float(capsys.readouterr().err.split(
+        "manufactured solution error 2-norm: ")[1].splitlines()[0])
+    assert val < 1e-5
+
+
+def test_distributed_with_partition_file(matrix_file, tmp_path, capsys):
+    part_file = tmp_path / "part.mtx"
+    with open(part_file, "wb") as f:
+        rc = _run_redirect(cli_mtxpartition.main,
+                           [str(matrix_file), "--parts", "4", "-o", str(part_file)])
+    part = read_partition(part_file)
+    assert part.max() == 3 and len(part) == 144
+    out = tmp_path / "x.mtx"
+    rc = cli_main.main([str(matrix_file), "--manufactured-solution",
+                        "--nparts", "4", "--partition", str(part_file),
+                        "--max-iterations", "500", "--residual-rtol", "1e-8",
+                        "--warmup", "0", "-o", str(out)])
+    assert rc == 0
+
+
+def _run_redirect(fn, argv):
+    return fn(argv)
+
+
+def test_mtx2bin_roundtrip(matrix_file, tmp_path):
+    binf = tmp_path / "A.bin"
+    rc = cli_mtx2bin.main([str(matrix_file), str(binf)])
+    assert rc == 0
+    m = read_mtx(binf, binary=True)
+    m0 = read_mtx(matrix_file)
+    np.testing.assert_array_equal(m.rowidx, m0.rowidx)
+    np.testing.assert_allclose(m.data, m0.data)
+
+
+def test_binary_input_solve(matrix_file, tmp_path, capsys):
+    binf = tmp_path / "A.bin"
+    cli_mtx2bin.main([str(matrix_file), str(binf)])
+    out = tmp_path / "x.mtx"
+    rc = cli_main.main([str(binf), "--binary", "--manufactured-solution",
+                        "--max-iterations", "500", "--residual-rtol", "1e-8",
+                        "--warmup", "0", "-o", str(out)])
+    assert rc == 0
+
+
+def test_poisson_generator_cli(tmp_path):
+    out = tmp_path / "p.mtx"
+    rc = cli_poisson.main(["-n", "8", "--dim", "3", "--stencil", "27",
+                           "-o", str(out)])
+    assert rc == 0
+    m = read_mtx(out)
+    assert m.nrows == 512
+
+
+def test_rhs_file_and_x0(matrix_file, tmp_path, capsys):
+    from acg_tpu.io import vector_to_mtx
+    rng = np.random.default_rng(0)
+    b = rng.standard_normal(144)
+    bf = tmp_path / "b.mtx"
+    write_mtx(bf, vector_to_mtx(b))
+    out = tmp_path / "x.mtx"
+    rc = cli_main.main([str(matrix_file), str(bf), "--max-iterations", "500",
+                        "--residual-rtol", "1e-9", "--warmup", "0",
+                        "-o", str(out)])
+    assert rc == 0
+    # verify Ax ≈ b via scipy
+    import scipy.sparse as sp
+    from acg_tpu.core.csr import SymCSRMatrix
+    A = SymCSRMatrix.from_mtx(read_mtx(matrix_file)).to_scipy_full()
+    x = read_mtx(out).to_dense_vector()
+    assert np.linalg.norm(A @ x - b) <= 1e-8 * np.linalg.norm(b)
+
+
+def test_not_converged_exit_code(matrix_file, tmp_path):
+    rc = cli_main.main([str(matrix_file), "--manufactured-solution",
+                        "--max-iterations", "2", "--residual-rtol", "1e-14",
+                        "--warmup", "0", "-q"])
+    assert rc == 2
+
+
+def test_epsilon_shift(matrix_file, tmp_path, capsys):
+    # big diagonal shift: much better conditioning, fewer iterations
+    out = tmp_path / "x.mtx"
+    rc = cli_main.main([str(matrix_file), "--epsilon", "100.0",
+                        "--max-iterations", "500", "--residual-rtol", "1e-9",
+                        "--warmup", "0", "-o", str(out)])
+    assert rc == 0
+    err = capsys.readouterr().err
+    iters = int(err.split("  iterations: ")[1].splitlines()[0])
+    assert iters < 20
+
+
+def test_comm_matrix_output(matrix_file, capsys, tmp_path):
+    out = tmp_path / "x.mtx"
+    rc = cli_main.main([str(matrix_file), "--nparts", "4",
+                        "--partition-method", "bfs",
+                        "--output-comm-matrix", "--max-iterations", "50",
+                        "--residual-rtol", "1e-6", "--warmup", "0",
+                        "-o", str(out)])
+    assert rc == 0
+    cap = capsys.readouterr().out
+    assert "%%MatrixMarket matrix coordinate integer general" in cap
+
+
+def test_version(capsys):
+    with pytest.raises(SystemExit) as e:
+        cli_main.main(["--version"])
+    assert e.value.code == 0
