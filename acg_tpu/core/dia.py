@@ -44,14 +44,16 @@ class DiaOperator:
     vals: jnp.ndarray                 # (K, Np)
     offsets: tuple[int, ...]          # static
     N: int                            # logical size (static)
+    backend: str = "xla"              # "xla" | "pallas" SpMV implementation
 
-    # -- pytree plumbing (offsets/N are static aux data) ----------------------
+    # -- pytree plumbing (offsets/N/backend are static aux data) --------------
     def tree_flatten(self):
-        return (self.vals,), (self.offsets, self.N)
+        return (self.vals,), (self.offsets, self.N, self.backend)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(vals=children[0], offsets=aux[0], N=aux[1])
+        return cls(vals=children[0], offsets=aux[0], N=aux[1],
+                   backend=aux[2] if len(aux) > 2 else "xla")
 
     # -------------------------------------------------------------------------
 
@@ -69,7 +71,8 @@ class DiaOperator:
         return len(self.offsets) * self.N
 
     @classmethod
-    def from_arrays(cls, offsets, vals, dtype=None, pad_to: int = 1024) -> "DiaOperator":
+    def from_arrays(cls, offsets, vals, dtype=None, pad_to: int = 1024,
+                    backend: str = "xla") -> "DiaOperator":
         """From host (offsets, (K, N) slabs); pads N up to a multiple of
         ``pad_to`` with zero columns (the zero-padding invariant makes padded
         rows inert in SpMV and reductions)."""
@@ -81,14 +84,27 @@ class DiaOperator:
             vals = vals.astype(dtype)
         if Np != N:
             vals = np.pad(vals, ((0, 0), (0, Np - N)))
-        return cls(vals=jnp.asarray(vals), offsets=offsets, N=N)
+        return cls(vals=jnp.asarray(vals), offsets=offsets, N=N,
+                   backend=backend)
 
     # -- SpMV -----------------------------------------------------------------
 
     def spmv_ext(self, x_ext: jnp.ndarray, hw: int) -> jnp.ndarray:
         """SpMV against an extended vector x_ext = [pad(hw) | x (Np) | pad(hw)],
         where the pads hold whatever the halo filled in (zeros on a single
-        device).  This is the hot loop; all slicing is static."""
+        device).  This is the hot loop; all slicing is static.
+
+        backend="xla": shifted slices, which XLA fuses and keeps
+        VMEM-resident across loop iterations — fastest when the working set
+        approaches VMEM capacity.  backend="pallas": single-pass streaming
+        kernel (ops/pallas_dia.py) — wins when vectors are far larger than
+        VMEM.  Measured on v5e, Poisson-2D n=2048 f32: XLA 68 µs, Pallas
+        187 µs (VMEM-resident regime)."""
+        if self.backend == "pallas":
+            from ..ops.pallas_dia import dia_spmv_pallas, pick_block
+            block = pick_block(self.Np, len(self.offsets), hw,
+                               self.vals.dtype.itemsize)
+            return dia_spmv_pallas(self.vals, x_ext, self.offsets, hw, block)
         y = None
         for k, off in enumerate(self.offsets):
             xk = jax.lax.slice_in_dim(x_ext, hw + off, hw + off + self.Np)

@@ -163,9 +163,22 @@ def _read_coordinate_data(f, m: MtxFile, binary: bool, idx_size: int) -> None:
                 raise UnexpectedEofError()
             m.data = np.array(data)
         return
-    # Text: vectorized token parse of the remaining stream.
+    # Text: native parallel parser if built, else vectorized numpy tokens.
     raw = f.read()
     ncols_per_line = 2 + (0 if m.field == "pattern" else 1)
+    from .. import _native
+    if _native.available():
+        has_vals = m.field != "pattern"
+        try:
+            rowidx, colidx, vals = _native.parse_coord(raw, nnz, has_vals)
+        except ValueError as e:
+            raise UnexpectedEofError(str(e))
+        m.rowidx, m.colidx = rowidx, colidx
+        if m.field == "real":
+            m.data = vals
+        elif m.field == "integer":
+            m.data = vals.astype(np.int64)
+        return
     toks = raw.split()
     if len(toks) < nnz * ncols_per_line:
         raise UnexpectedEofError(

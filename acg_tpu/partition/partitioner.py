@@ -133,6 +133,14 @@ def partition(rowptr, colidx, nparts: int, method: str = "contiguous",
         return np.zeros(N, dtype=np.int64)
     if method == "contiguous":
         return partition_contiguous(N, nparts)
-    if method in ("bfs", "metis-like"):
+    if method in ("bfs", "metis-like", "native"):
+        from .. import _native
+        if _native.available():
+            part = _native.partition_graph(rowptr, colidx, nparts, seed)
+            if np.bincount(part, minlength=nparts).min() > 0:
+                return part
+            # degenerate native result (empty part): fall through to Python
+        if method == "native":
+            raise PartitionError("native partitioner not available")
         return partition_bfs_recursive(rowptr, colidx, nparts, seed)
     raise PartitionError(f"unknown partition method {method!r}")

@@ -65,14 +65,18 @@ def main() -> None:
 
         return run
 
-    def timed(run):
-        # warmup + compile
+    def timed(run, reps=4):
+        # warmup + compile, then min over reps (the tunnel's fetch cost has
+        # seconds-scale variance; min-of-reps + differencing removes it)
         r = run(op, b, x0)
         _ = float(r[0]) + float(r[1])
-        t0 = time.perf_counter()
-        r = run(op, b, x0)
-        _ = float(r[0]) + float(r[1])   # force full execution through fetch
-        return time.perf_counter() - t0
+        best = float("inf")
+        for _i in range(reps):
+            t0 = time.perf_counter()
+            r = run(op, b, x0)
+            _ = float(r[0]) + float(r[1])
+            best = min(best, time.perf_counter() - t0)
+        return best
 
     t1 = timed(make_run(K1))
     t2 = timed(make_run(K2))

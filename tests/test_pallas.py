@@ -1,0 +1,78 @@
+"""Pallas DIA kernel tests (interpret mode on CPU; compiled path is
+exercised on real TPU by bench/scripts)."""
+
+import jax
+import numpy as np
+import pytest
+import scipy.sparse as sp
+from jax.experimental import pallas as pl
+
+import acg_tpu.ops.pallas_dia as pallas_dia
+from acg_tpu.core.dia import DiaOperator
+from acg_tpu.io.generators import dia_to_coo, poisson2d_dia, poisson3d_dia
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    orig = pl.pallas_call
+    monkeypatch.setattr(pl, "pallas_call",
+                        lambda *a, **k: orig(*a, interpret=True, **k))
+    # bust the jit cache so compiled (non-interpret) traces aren't reused
+    pallas_dia.dia_spmv_pallas._clear_cache()
+    yield
+    pallas_dia.dia_spmv_pallas._clear_cache()
+
+
+def _check(offsets, vals, hw, block, dtype=np.float64):
+    import jax.numpy as jnp
+    K, N = vals.shape
+    rowidx, colidx, a, _ = dia_to_coo(offsets, vals)
+    A = sp.coo_matrix((a, (rowidx, colidx)), shape=(N, N)).tocsr()
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(N).astype(dtype)
+    xe = jnp.asarray(np.concatenate([np.zeros(hw, dtype), x, np.zeros(hw, dtype)]))
+    y = np.asarray(pallas_dia.dia_spmv_pallas(
+        jnp.asarray(vals.astype(dtype)), xe,
+        tuple(int(o) for o in offsets), hw, block))
+    np.testing.assert_allclose(y[:N], A @ x, rtol=1e-5 if dtype == np.float32 else 1e-12,
+                               atol=1e-5 if dtype == np.float32 else 1e-12)
+
+
+def test_poisson2d_exact():
+    offsets, vals = poisson2d_dia(32)     # N=1024
+    _check(offsets, vals, hw=32, block=256)
+
+
+def test_poisson3d_27pt():
+    offsets, vals = poisson3d_dia(8, 27)  # N=512, hw=73
+    _check(offsets, vals, hw=73, block=128)
+
+
+def test_float32():
+    offsets, vals = poisson2d_dia(16)
+    _check(offsets, vals, hw=16, block=128, dtype=np.float32)
+
+
+def test_block_must_divide():
+    import jax.numpy as jnp
+    offsets, vals = poisson2d_dia(16)
+    xe = jnp.zeros((256 + 32,))
+    with pytest.raises(AssertionError):
+        pallas_dia.dia_spmv_pallas(jnp.asarray(vals), xe,
+                                   tuple(int(o) for o in offsets), 16, 100)
+
+
+def test_operator_backend_switch():
+    import jax.numpy as jnp
+    offsets, vals = poisson2d_dia(16)
+    op_x = DiaOperator.from_arrays(offsets, vals, pad_to=128, backend="xla")
+    op_p = DiaOperator.from_arrays(offsets, vals, pad_to=128, backend="pallas")
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(op_x.Np))
+    np.testing.assert_allclose(np.asarray(op_p.spmv(x)),
+                               np.asarray(op_x.spmv(x)), rtol=1e-12)
+
+
+def test_pick_block():
+    assert pallas_dia.pick_block(4096 * 1024, 5, 2048, 4) >= 1024
+    b = pallas_dia.pick_block(5 * 1024, 27, 512, 8)
+    assert 5 * 1024 % b == 0
