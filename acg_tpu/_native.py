@@ -49,6 +49,11 @@ def _load():
             lib.acg_rcm_order.argtypes = [
                 ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
                 ctypes.c_int64, ctypes.POINTER(ctypes.c_int64)]
+            if hasattr(lib, "acg_radix_sort_i64"):
+                lib.acg_radix_sort_i64.restype = ctypes.c_int
+                lib.acg_radix_sort_i64.argtypes = [
+                    ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_int64)]
             _LIB = lib
             break
     return _LIB
@@ -94,6 +99,22 @@ def partition_graph(rowptr: np.ndarray, colidx: np.ndarray, nparts: int,
     if err != 0:
         raise ValueError(f"native partitioner failed with code {err}")
     return part
+
+
+def radix_sort_idx(keys: np.ndarray) -> np.ndarray | None:
+    """Stable sorting permutation of int64 keys; None if unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "acg_radix_sort_i64"):
+        return None
+    keys = np.ascontiguousarray(keys, dtype=np.int64)
+    perm = np.empty(keys.shape[0], dtype=np.int64)
+    err = lib.acg_radix_sort_i64(
+        keys.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        keys.shape[0],
+        perm.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    if err != 0:
+        return None
+    return perm
 
 
 def rcm_order(rowptr: np.ndarray, colidx: np.ndarray) -> np.ndarray:

@@ -106,6 +106,15 @@ def log(args, msg: str) -> None:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
+    # validate --numfmt before any work (acg-cuda.c:763-770 via fmtspec_parse)
+    if args.numfmt is not None:
+        from ..utils.fmtspec import validate_numfmt
+        try:
+            args.numfmt = validate_numfmt(args.numfmt, field="real")
+        except ValueError as e:
+            print(f"error: --numfmt: {e}", file=sys.stderr)
+            return 1
+
     import acg_tpu  # noqa: F401 (x64)
     from ..core.csr import SymCSRMatrix
     from ..core.dia import DiaOperator

@@ -121,6 +121,48 @@ int acg_parse_coord(const char* buf, int64_t len, int64_t nnz, int nval,
 }
 
 // ---------------------------------------------------------------------------
+// LSD radix sort of int64 keys producing the stable sorting permutation
+// (acg/sort.c analogue: acgradixsort_int64 with permutation output).
+// 8 passes of 8 bits over (key, index) pairs; signed order obtained by
+// flipping the sign bit so the unsigned byte passes order int64 correctly.
+
+int acg_radix_sort_i64(const int64_t* keys, int64_t n, int64_t* perm) {
+    if (n < 0) return -1;
+    std::vector<uint64_t> cur(n), nxt(n);
+    std::vector<int64_t> pcur(n), pnxt(n);
+    for (int64_t i = 0; i < n; i++) {
+        cur[i] = (uint64_t)keys[i] ^ 0x8000000000000000ULL;
+        pcur[i] = i;
+    }
+    int64_t count[256];
+    for (int pass = 0; pass < 8; pass++) {
+        int shift = pass * 8;
+        // skip passes where every byte is equal (common for small ranges)
+        uint64_t first = n ? ((cur[0] >> shift) & 0xFF) : 0;
+        bool all_same = true;
+        std::memset(count, 0, sizeof(count));
+        for (int64_t i = 0; i < n; i++) {
+            uint64_t b = (cur[i] >> shift) & 0xFF;
+            count[b]++;
+            all_same &= (b == first);
+        }
+        if (all_same) continue;
+        int64_t offs[256], acc = 0;
+        for (int b = 0; b < 256; b++) { offs[b] = acc; acc += count[b]; }
+        for (int64_t i = 0; i < n; i++) {
+            uint64_t b = (cur[i] >> shift) & 0xFF;
+            int64_t dst = offs[b]++;
+            nxt[dst] = cur[i];
+            pnxt[dst] = pcur[i];
+        }
+        cur.swap(nxt);
+        pcur.swap(pnxt);
+    }
+    std::memcpy(perm, pcur.data(), n * sizeof(int64_t));
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
 // Graph partitioner: recursive bisection by BFS graph growing from a
 // pseudo-peripheral vertex, with one pass of greedy boundary (KL/FM-style)
 // refinement per bisection.  Same objective as the reference's METIS use
