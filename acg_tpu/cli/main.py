@@ -81,6 +81,10 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--comm", default="none",
                    choices=("none", "xla", "mpi", "nccl", "nvshmem"),
                    help="none, or xla (mpi/nccl/nvshmem are accepted aliases) [none]")
+    g.add_argument("--halo", default="allgather",
+                   choices=("allgather", "alltoall"),
+                   help="halo exchange strategy for general partitions "
+                        "[allgather]")
     g = p.add_argument_group("verification options")
     g.add_argument("--manufactured-solution", action="store_true",
                    help="use a manufactured solution and right-hand side")
@@ -203,7 +207,7 @@ def main(argv=None) -> int:
             if args.output_comm_matrix:
                 _print_comm_matrix(pm.comm_matrix)
             return solve_dist_general(pm, b, x0=x0, opt=opt, method=method,
-                                      dtype=args.dtype)
+                                      dtype=args.dtype, halo=args.halo)
         op = _make_op()
         if args.solver.startswith("acg-host"):
             return solve_host_stepped(op, b, x0, opt, method)

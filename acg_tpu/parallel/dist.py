@@ -100,6 +100,18 @@ def general_spmv_local(static: GeneralPlanStatic,
     """Per-device general SpMV: owned-block ELL + interface-block ELL over
     the ghost buffer filled by the all-gather halo."""
     ghosts = allgather_halo(x_own, send_idx, ghost_src_dev, ghost_src_slot, axis)
+    return general_spmv_with_ghosts(own_colidx, own_vals, ghost_colidx,
+                                    ghost_vals, x_own, ghosts)
+
+
+def general_spmv_with_ghosts(own_colidx, own_vals, ghost_colidx, ghost_vals,
+                             x_own: jnp.ndarray,
+                             ghosts: jnp.ndarray) -> jnp.ndarray:
+    """Owned-block + interface-block ELL SpMV given a filled ghost buffer
+    (the fa/oa operator split of symcsrmatrix.h:249-292).  The owned term
+    has no data dependence on the halo, so XLA overlaps the collective that
+    produced ``ghosts`` with it (the commstream/stream overlap of
+    cgcuda.c:855-899)."""
     y_own = jnp.sum(own_vals * jnp.take(x_own, own_colidx, axis=0), axis=0)
     y_gst = jnp.sum(ghost_vals * jnp.take(ghosts, ghost_colidx, axis=0), axis=0)
     return y_own + y_gst

@@ -62,3 +62,25 @@ def allgather_halo(x_own: jnp.ndarray, send_idx: jnp.ndarray,
     sendbuf = jnp.take(x_own, send_idx, axis=0)
     table = lax.all_gather(sendbuf, axis)          # (P, S)
     return table[ghost_src_dev, ghost_src_slot]    # (G,)
+
+
+def alltoall_halo(x_own: jnp.ndarray, pair_send_idx: jnp.ndarray,
+                  ghost_src_dev: jnp.ndarray, ghost_src_pair_slot: jnp.ndarray,
+                  axis: str = AXIS) -> jnp.ndarray:
+    """General halo as a true neighbour alltoallv (halo.c:687-769 analogue).
+
+    ``pair_send_idx`` (P, M): row q = the local owned indices this device
+    packs for device q (static shapes via padding every p→q edge to the
+    global max M, the symmetric-heap sizing trick of halo.c:883-891).
+    After ``all_to_all``, row q of the received table holds what device q
+    sent here; ``ghost_src_dev/ghost_src_pair_slot`` (G,) unpack it.
+
+    Wire volume is P·M per device versus P·S for the all-gather (S = the
+    union send buffer ≥ any M); for partitions with many neighbours but
+    small pairwise edges this is the bandwidth-optimal strategy, matching
+    the reference's point-to-point halo instead of a broadcast.
+    """
+    sendbuf = jnp.take(x_own, pair_send_idx, axis=0)     # (P, M) pack
+    table = lax.all_to_all(sendbuf, axis, split_axis=0,
+                           concat_axis=0, tiled=True)    # (P, M) per-sender
+    return table[ghost_src_dev, ghost_src_pair_slot]     # (G,) unpack

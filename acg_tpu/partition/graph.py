@@ -59,6 +59,11 @@ class PartitionedMatrix:
     ghost_src_dev: np.ndarray     # (P, G) source part per ghost slot
     ghost_src_slot: np.ndarray    # (P, G) slot in source part's send buffer
     comm_matrix: np.ndarray       # (P, P) words sent p→q (for --output-comm-matrix)
+    # halo plan (pairwise all-to-all addressing, the neighbor-alltoallv
+    # analogue: per-destination send buffers padded to the max pair count)
+    M: int                        # padded max entries on any p→q edge
+    pair_send_idx: np.ndarray     # (P, P, M) sender p, row q = local idx to pack
+    ghost_src_pair_slot: np.ndarray  # (P, G) slot within the (src→p) pair row
     # local operators (ELL slabs, columns in local numbering)
     own_colidx: np.ndarray        # (P, K_own, L) cols into owned vector
     own_vals: np.ndarray          # (P, K_own, L)
@@ -151,6 +156,25 @@ def build_partitioned_matrix(A_full: sp.csr_matrix, part: np.ndarray,
             ghost_src_slot[p, i] = slot_of[q][int(g)]
             comm_matrix[q, p] += 1
 
+    # --- pairwise (all-to-all) halo plan ------------------------------------
+    # pair_request[q][p] = sorted global ids q must send to p.  ghosts[p] is
+    # sorted by (owner, global), so p's ghosts from q form a contiguous
+    # sorted run — its position within the run is the pair-buffer slot
+    # (the alltoallv sdispls/rdispls contract of halo.h:72-186, made static
+    # by padding every edge to the max count M, per halo.c:883-891).
+    M = _round_up(max(int(comm_matrix.max()), 1), pad_to)
+    pair_send_idx = np.zeros((P, P, M), dtype=np.int64)
+    ghost_src_pair_slot = np.zeros((P, G), dtype=np.int64)
+    for p in range(P):
+        gsd = ghost_src_dev[p, : n_ghost[p]]
+        for q in range(P):
+            sel = np.where(gsd == q)[0]
+            if sel.size == 0:
+                continue
+            ids = ghosts[p][sel]                     # sorted globals from q
+            pair_send_idx[q, p, : sel.size] = global_to_local[ids]
+            ghost_src_pair_slot[p, sel] = np.arange(sel.size)
+
     # --- local ELL operators -------------------------------------------------
     # Column renumbering: owned col → local slot; ghost col → ghost slot.
     own_rows_ell, ghost_rows_ell = [], []
@@ -201,6 +225,8 @@ def build_partitioned_matrix(A_full: sp.csr_matrix, part: np.ndarray,
         send_idx=send_idx, n_send=n_send, S=S,
         ghost_src_dev=ghost_src_dev, ghost_src_slot=ghost_src_slot,
         comm_matrix=comm_matrix,
+        M=M, pair_send_idx=pair_send_idx,
+        ghost_src_pair_slot=ghost_src_pair_slot,
         own_colidx=own_colidx, own_vals=own_vals,
         ghost_colidx=ghost_colidx, ghost_vals=ghost_vals,
     )

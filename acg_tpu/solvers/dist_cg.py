@@ -30,10 +30,10 @@ import numpy as np
 from jax import lax, shard_map
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..parallel.dist import (GeneralPlanStatic, StencilPlan,
-                             general_spmv_local, make_stencil_plan,
+from ..parallel.dist import (general_spmv_with_ghosts, make_stencil_plan,
                              pad_stencil_operand, pad_stencil_vector,
                              stencil_spmv_local)
+from ..parallel.halo import allgather_halo, alltoall_halo
 from ..parallel.mesh import AXIS, make_mesh
 from ..partition.graph import PartitionedMatrix, gather_vector, scatter_vector
 from .cg import (CGOptions, SolveInfo, cg_history_scan, cg_loop,
@@ -130,26 +130,40 @@ def solve_dist_stencil(offsets, vals: np.ndarray, b: np.ndarray,
 # General partitioned path (any partition vector)
 
 
+HALO_METHODS = ("allgather", "alltoall")
+
+
 def solve_dist_general(pm: PartitionedMatrix, b: np.ndarray,
                        x0: np.ndarray | None = None,
                        opt: CGOptions = CGOptions(), method: str = "cg",
-                       history: bool = False, dtype=None, devices=None):
+                       history: bool = False, dtype=None, devices=None,
+                       halo: str = "allgather"):
     """Distributed solve with a general row partition (METIS-style).
 
     ``pm`` comes from partition.graph.build_partitioned_matrix; ``b``/``x0``
-    are global (N,) vectors.  Returns (x (N,) numpy, SolveInfo)."""
+    are global (N,) vectors.  ``halo`` selects the exchange strategy
+    (SURVEY.md §5.8): "allgather" broadcasts each device's packed border
+    buffer; "alltoall" is the neighbour-alltoallv analogue (point-to-point
+    pair buffers, lower wire volume).  Returns (x (N,) numpy, SolveInfo)."""
+    if halo not in HALO_METHODS:
+        raise ValueError(f"unknown halo {halo!r}; expected one of {HALO_METHODS}")
     mesh = make_mesh(pm.P, devices)
     vdtype = np.dtype(dtype) if dtype is not None else np.float64
-    static = GeneralPlanStatic(N=pm.N, nparts=pm.P, L=pm.L, G=pm.G, S=pm.S)
 
     stk = NamedSharding(mesh, P(AXIS))
     own_ci = jax.device_put(pm.own_colidx, stk)
     own_v = jax.device_put(pm.own_vals.astype(vdtype), stk)
     gst_ci = jax.device_put(pm.ghost_colidx, stk)
     gst_v = jax.device_put(pm.ghost_vals.astype(vdtype), stk)
-    send_idx = jax.device_put(pm.send_idx.astype(np.int32), stk)
     g_dev = jax.device_put(pm.ghost_src_dev.astype(np.int32), stk)
-    g_slot = jax.device_put(pm.ghost_src_slot.astype(np.int32), stk)
+    if halo == "alltoall":
+        send_idx = jax.device_put(pm.pair_send_idx.astype(np.int32), stk)
+        g_slot = jax.device_put(pm.ghost_src_pair_slot.astype(np.int32), stk)
+        halo_fn = alltoall_halo
+    else:
+        send_idx = jax.device_put(pm.send_idx.astype(np.int32), stk)
+        g_slot = jax.device_put(pm.ghost_src_slot.astype(np.int32), stk)
+        halo_fn = allgather_halo
 
     b_l = jax.device_put(scatter_vector(pm, np.asarray(b)).astype(vdtype), stk)
     x0_l = jax.device_put(
@@ -163,8 +177,11 @@ def solve_dist_general(pm: PartitionedMatrix, b: np.ndarray,
         oc, ov, gc, gv = oc[0], ov[0], gc[0], gv[0]
         si, gd, gs = si[0], gd[0], gs[0]
         b_, x0_ = b_[0], x0_[0]
-        spmv = lambda xx: general_spmv_local(static, oc, ov, gc, gv,
-                                             si, gd, gs, xx, AXIS)
+
+        def spmv(xx):
+            ghosts = halo_fn(xx, si, gd, gs, AXIS)
+            return general_spmv_with_ghosts(oc, ov, gc, gv, xx, ghosts)
+
         red = lambda v: lax.psum(v, AXIS)
         out = fn(spmv, b_, x0_, opt, red)
         if history:
