@@ -52,6 +52,10 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--partition-method", default="contiguous",
                    choices=("contiguous", "bfs", "metis-like"),
                    help="partitioner when no --partition file is given [contiguous]")
+    g.add_argument("--reorder", default="none", choices=("none", "rcm", "nd"),
+                   help="symmetric row/column reordering applied before "
+                        "solving: rcm reduces bandwidth (enables the DIA "
+                        "fast path on unstructured matrices) [none]")
     g.add_argument("--nparts", type=int, default=1,
                    help="number of parts/devices (1 = single chip) [1]")
     g.add_argument("--seed", type=int, default=0, help="random number seed [0]")
@@ -149,6 +153,21 @@ def main(argv=None) -> int:
         A = SymCSRMatrix.from_mtx(mtx)
     log(args, f"assembled symmetric CSR: N={A.N}, stored nnz={A.nnz_stored}")
 
+    perm = None
+    if args.reorder != "none":
+        from ..partition.ordering import bandwidth, nd_order, rcm_order
+        with timer.phase("reorder"):
+            full = A.to_scipy_full()
+            bw0 = bandwidth(full.indptr, full.indices)
+            order_fn = rcm_order if args.reorder == "rcm" else nd_order
+            perm = order_fn(full.indptr.astype(np.int64),
+                            full.indices.astype(np.int64))
+            A = A.permuted(perm)
+            full2 = A.to_scipy_full()
+            bw1 = bandwidth(full2.indptr, full2.indices)
+        log(args, f"reordered ({args.reorder}): bandwidth {bw0} -> {bw1} "
+                  f"({timer.phases['reorder']:.3f} s)")
+
     N = A.N
     rng = np.random.default_rng(args.seed)
 
@@ -162,12 +181,16 @@ def main(argv=None) -> int:
     elif args.b is not None:
         b = read_mtx(args.b, gzip=args.gzip or None,
                      binary=args.binary).to_dense_vector()
+        if perm is not None:
+            b = b[perm]
     else:
         b = np.ones(N)
     x0 = None
     if args.x0 is not None:
         x0 = read_mtx(args.x0, gzip=args.gzip or None,
                       binary=args.binary).to_dense_vector()
+        if perm is not None:
+            x0 = x0[perm]
 
     nparts = args.nparts if args.comm != "none" or args.nparts > 1 else 1
     dia = None
@@ -266,8 +289,12 @@ def main(argv=None) -> int:
         print(f"initial error 2-norm: {err0:.17g}", file=sys.stderr)
 
     if not args.quiet:
+        x_out = x
+        if perm is not None:   # back to the input ordering
+            x_out = np.empty_like(x)
+            x_out[perm] = x
         dest = args.output if args.output else sys.stdout.buffer
-        write_mtx(dest, vector_to_mtx(x), numfmt=args.numfmt,
+        write_mtx(dest, vector_to_mtx(x_out), numfmt=args.numfmt,
                   comments=["% solution vector x computed by acg-tpu"])
     return 0 if info.converged or args.max_iterations == 0 else 2
 

@@ -125,6 +125,16 @@ class SymCSRMatrix:
         vals[slot, rows] = full.data
         return colidx, vals
 
+    def permuted(self, perm: np.ndarray) -> "SymCSRMatrix":
+        """Symmetric permutation B = P A Pᵀ with B[i,j] = A[perm[i], perm[j]]
+        (used by --reorder to reduce bandwidth for the DIA fast path)."""
+        perm = np.asarray(perm, dtype=np.int64)
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(perm.size)
+        coo = self.to_scipy_upper().tocoo()
+        return SymCSRMatrix.from_coo(self.N, inv[coo.row], inv[coo.col],
+                                     coo.data)
+
     # -- reference ops (oracles) ---------------------------------------------
 
     def matvec(self, x: np.ndarray, epsilon: float = 0.0) -> np.ndarray:
