@@ -99,6 +99,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="print communication matrix to standard output")
     g.add_argument("-o", "--output", default=None, metavar="FILE",
                    help="write solution vector to FILE instead of stdout")
+    g.add_argument("--trace", metavar="DIR", default=None,
+                   help="write a jax.profiler trace of the solve to DIR "
+                        "(the nsys/NVTX analogue, viewable in Perfetto/"
+                        "TensorBoard)")
     g.add_argument("-v", "--verbose", action="count", default=0,
                    help="be more verbose")
     g.add_argument("-q", "--quiet", action="store_true", help="suppress output")
@@ -266,8 +270,14 @@ def main(argv=None) -> int:
             run_once()
         log(args, f"warmup solve (compile) done ({timer.phases['warmup']:.3f} s)")
 
-    with timer.phase("solve"):
-        x, info = run_once()
+    if args.trace:
+        import jax
+        with timer.phase("solve"), jax.profiler.trace(args.trace):
+            x, info = run_once()
+        log(args, f"profiler trace written to {args.trace}")
+    else:
+        with timer.phase("solve"):
+            x, info = run_once()
     tsolve = timer.phases["solve"]
     log(args, f"solve done in {tsolve:.6f} s, {info.niterations} iterations, "
               f"converged={info.converged}")

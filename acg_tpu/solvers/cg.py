@@ -110,12 +110,18 @@ def cg_loop(spmv: Callable, b, x0, opt: CGOptions,
 
     def body(state):
         x, r, p, gamma, dxn2, k, conv = state
-        t = spmv(p)
-        pdott = reduce_fn(dot(p, t, dd))
+        # named scopes = the reference's NVTX ranges (cgcuda.c:771-938),
+        # visible in jax.profiler traces
+        with jax.named_scope("acg.spmv"):
+            t = spmv(p)
+        with jax.named_scope("acg.dot"):
+            pdott = reduce_fn(dot(p, t, dd))
         alpha = gamma / pdott
-        x = x + (alpha.astype(vdtype)) * p
-        r = r - (alpha.astype(vdtype)) * t
-        gamma_new = reduce_fn(nrm2sqr(r, dd))
+        with jax.named_scope("acg.update"):
+            x = x + (alpha.astype(vdtype)) * p
+            r = r - (alpha.astype(vdtype)) * t
+        with jax.named_scope("acg.nrm2"):
+            gamma_new = reduce_fn(nrm2sqr(r, dd))
         if opt.needs_diff:
             pn2 = reduce_fn(nrm2sqr(p, dd))
             dxn2 = alpha * alpha * pn2
@@ -207,17 +213,20 @@ def pipelined_cg_loop(spmv: Callable, b, x0, opt: CGOptions,
 
     def body(state):
         (x, r, w, z, t, p, gamma, delta, gprev, aprev, dxn2, k, conv) = state
-        q = spmv(w)
+        with jax.named_scope("acg.spmv"):
+            q = spmv(w)
         beta = jnp.where(k == 0, jnp.array(0.0, dd), gamma / gprev)
         alpha = gamma / (delta - beta * gamma / aprev)
         ab, bb = alpha.astype(vdtype), beta.astype(vdtype)
-        z = q + bb * z
-        t = w + bb * t
-        p = r + bb * p
-        x = x + ab * p
-        r = r - ab * t
-        w = w - ab * z
-        gd = reduce_fn(dot2(r, r, w, r, dd))
+        with jax.named_scope("acg.fused_update"):
+            z = q + bb * z
+            t = w + bb * t
+            p = r + bb * p
+            x = x + ab * p
+            r = r - ab * t
+            w = w - ab * z
+        with jax.named_scope("acg.dot2"):
+            gd = reduce_fn(dot2(r, r, w, r, dd))
         gamma_new, delta_new = gd[0], gd[1]
         if opt.needs_diff:
             pn2 = reduce_fn(nrm2sqr(p, dd))
