@@ -306,6 +306,20 @@ def pipelined_cg_history_scan(spmv: Callable, b, x0, opt: CGOptions,
 METHODS = ("cg", "pipelined")
 
 
+@partial(jax.jit, static_argnames=("opt", "method", "history"))
+def _run_single(op, bp, x0p, opt: CGOptions, method: str, history: bool):
+    """Compiled solve program.  Keyed by the static (opt, method, history)
+    triple and the operator's static aux (offsets/N/backend), so repeated
+    solves with the same configuration reuse the compiled program — the
+    analogue of the reference's init/solve split (acgsolvercuda_init
+    uploads once, cgcuda.c:143-332; solves reuse the device state)."""
+    if history:
+        fn = cg_history_scan if method == "cg" else pipelined_cg_history_scan
+    else:
+        fn = cg_loop if method == "cg" else pipelined_cg_loop
+    return fn(op.spmv, bp, x0p, opt)
+
+
 def solve(op, b: np.ndarray, x0: np.ndarray | None = None,
           opt: CGOptions = CGOptions(), method: str = "cg",
           history: bool = False):
@@ -324,25 +338,11 @@ def solve(op, b: np.ndarray, x0: np.ndarray | None = None,
     else:
         x0p = jnp.zeros((Np,), vdtype).at[:N].set(jnp.asarray(x0, vdtype))
 
-    spmv = op.spmv
-
     if history:
-        fn = cg_history_scan if method == "cg" else pipelined_cg_history_scan
-
-        @jax.jit
-        def run(op_, bp_, x0p_):
-            return fn(op_.spmv, bp_, x0p_, opt)
-
-        x, scalars, hist = run(op, bp, x0p)
+        x, scalars, hist = _run_single(op, bp, x0p, opt, method, True)
         hist = np.asarray(hist)
     else:
-        fn = cg_loop if method == "cg" else pipelined_cg_loop
-
-        @jax.jit
-        def run(op_, bp_, x0p_):
-            return fn(op_.spmv, bp_, x0p_, opt)
-
-        x, scalars = run(op, bp, x0p)
+        x, scalars = _run_single(op, bp, x0p, opt, method, False)
         hist = None
 
     scalars = jax.device_get(scalars)

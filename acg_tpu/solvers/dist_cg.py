@@ -63,6 +63,17 @@ def _loop_fns(method: str, history: bool):
     raise ValueError(f"unknown method {method!r}")
 
 
+# Compiled-program cache: repeated solves with the same static
+# configuration (mesh, plan, options, method) reuse the jitted shard_map
+# program instead of re-tracing — the init/solve split of the reference
+# (acgsolvercuda_init once, then many solves, cgcuda.c:143-332/403).
+_RUN_CACHE: dict = {}
+
+
+def _mesh_key(mesh):
+    return (mesh.axis_names, tuple(d.id for d in mesh.devices.flat))
+
+
 # ---------------------------------------------------------------------------
 # Stencil / banded path (contiguous partition)
 
@@ -101,21 +112,25 @@ def solve_dist_stencil(offsets, vals: np.ndarray, b: np.ndarray,
     b_sh = jax.device_put(b_g, vsh)
     x0_sh = jax.device_put(x0_g, vsh)
 
-    fn = _loop_fns(method, history)
+    key = ("stencil", _mesh_key(mesh), plan, opt, method, history)
+    run = _RUN_CACHE.get(key)
+    if run is None:
+        fn = _loop_fns(method, history)
 
-    def local(vals_l, b_l, x0_l):
-        spmv = lambda xx: stencil_spmv_local(plan, vals_l, xx, AXIS)
-        red = lambda v: lax.psum(v, AXIS)
-        return fn(spmv, b_l, x0_l, opt, red)
+        def local(vals_l, b_l, x0_l):
+            spmv = lambda xx: stencil_spmv_local(plan, vals_l, xx, AXIS)
+            red = lambda v: lax.psum(v, AXIS)
+            return fn(spmv, b_l, x0_l, opt, red)
 
-    scalar_spec = dict(niterations=P(), converged=P(), bnrm2sqr=P(),
-                       r0nrm2sqr=P(), rnrm2sqr=P(), x0nrm2sqr=P(),
-                       dxnrm2sqr=P())
-    out_specs = (P(AXIS), scalar_spec) if not history else \
-        (P(AXIS), scalar_spec, P())
-    run = jax.jit(shard_map(local, mesh=mesh,
-                            in_specs=(P(None, AXIS), P(AXIS), P(AXIS)),
-                            out_specs=out_specs))
+        scalar_spec = dict(niterations=P(), converged=P(), bnrm2sqr=P(),
+                           r0nrm2sqr=P(), rnrm2sqr=P(), x0nrm2sqr=P(),
+                           dxnrm2sqr=P())
+        out_specs = (P(AXIS), scalar_spec) if not history else \
+            (P(AXIS), scalar_spec, P())
+        run = jax.jit(shard_map(local, mesh=mesh,
+                                in_specs=(P(None, AXIS), P(AXIS), P(AXIS)),
+                                out_specs=out_specs))
+        _RUN_CACHE[key] = run
     out = run(vals_sh, b_sh, x0_sh)
     if history:
         x, scalars, hist = out
@@ -170,34 +185,38 @@ def solve_dist_general(pm: PartitionedMatrix, b: np.ndarray,
         (np.zeros((pm.P, pm.L), vdtype) if x0 is None
          else scatter_vector(pm, np.asarray(x0)).astype(vdtype)), stk)
 
-    fn = _loop_fns(method, history)
+    key = ("general", _mesh_key(mesh), opt, method, history, halo)
+    run = _RUN_CACHE.get(key)
+    if run is None:
+        fn = _loop_fns(method, history)
 
-    def local(oc, ov, gc, gv, si, gd, gs, b_, x0_):
-        # squeeze the per-device leading axis of stacked arrays
-        oc, ov, gc, gv = oc[0], ov[0], gc[0], gv[0]
-        si, gd, gs = si[0], gd[0], gs[0]
-        b_, x0_ = b_[0], x0_[0]
+        def local(oc, ov, gc, gv, si, gd, gs, b_, x0_):
+            # squeeze the per-device leading axis of stacked arrays
+            oc, ov, gc, gv = oc[0], ov[0], gc[0], gv[0]
+            si, gd, gs = si[0], gd[0], gs[0]
+            b_, x0_ = b_[0], x0_[0]
 
-        def spmv(xx):
-            ghosts = halo_fn(xx, si, gd, gs, AXIS)
-            return general_spmv_with_ghosts(oc, ov, gc, gv, xx, ghosts)
+            def spmv(xx):
+                ghosts = halo_fn(xx, si, gd, gs, AXIS)
+                return general_spmv_with_ghosts(oc, ov, gc, gv, xx, ghosts)
 
-        red = lambda v: lax.psum(v, AXIS)
-        out = fn(spmv, b_, x0_, opt, red)
-        if history:
-            x, scalars, hist = out
-            return x[None], scalars, hist
-        x, scalars = out
-        return x[None], scalars
+            red = lambda v: lax.psum(v, AXIS)
+            out = fn(spmv, b_, x0_, opt, red)
+            if history:
+                x, scalars, hist = out
+                return x[None], scalars, hist
+            x, scalars = out
+            return x[None], scalars
 
-    scalar_spec = dict(niterations=P(), converged=P(), bnrm2sqr=P(),
-                       r0nrm2sqr=P(), rnrm2sqr=P(), x0nrm2sqr=P(),
-                       dxnrm2sqr=P())
-    in_specs = tuple([P(AXIS)] * 9)
-    out_specs = (P(AXIS), scalar_spec) if not history else \
-        (P(AXIS), scalar_spec, P())
-    run = jax.jit(shard_map(local, mesh=mesh, in_specs=in_specs,
-                            out_specs=out_specs))
+        scalar_spec = dict(niterations=P(), converged=P(), bnrm2sqr=P(),
+                           r0nrm2sqr=P(), rnrm2sqr=P(), x0nrm2sqr=P(),
+                           dxnrm2sqr=P())
+        in_specs = tuple([P(AXIS)] * 9)
+        out_specs = (P(AXIS), scalar_spec) if not history else \
+            (P(AXIS), scalar_spec, P())
+        run = jax.jit(shard_map(local, mesh=mesh, in_specs=in_specs,
+                                out_specs=out_specs))
+        _RUN_CACHE[key] = run
     out = run(own_ci, own_v, gst_ci, gst_v, send_idx, g_dev, g_slot, b_l, x0_l)
     if history:
         xl, scalars, hist = out
