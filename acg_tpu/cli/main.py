@@ -76,6 +76,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="add TOL to the diagonal of A [0]")
     g.add_argument("--warmup", type=int, default=10, metavar="N",
                    help="perform N warmup iterations (one warmup solve) [10]")
+    g.add_argument("--check-every", type=int, default=1, metavar="M",
+                   help="evaluate the convergence predicate every M "
+                        "iterations (identical results; amortizes the "
+                        "device sync) [1]")
     g.add_argument("--dtype", default="float64",
                    choices=("float64", "float32"),
                    help="vector/matrix storage dtype [float64]")
@@ -146,7 +150,8 @@ def main(argv=None) -> int:
     opt = CGOptions(max_iterations=args.max_iterations,
                     diff_atol=args.diff_atol, diff_rtol=args.diff_rtol,
                     residual_atol=args.residual_atol,
-                    residual_rtol=args.residual_rtol)
+                    residual_rtol=args.residual_rtol,
+                    check_every=args.check_every)
 
     with timer.phase("read"):
         mtx = read_mtx(args.A, gzip=args.gzip or None, binary=args.binary)

@@ -47,6 +47,14 @@ class CGOptions:
     residual_atol: float = 0.0
     residual_rtol: float = 1.0e-9
     dot_dtype: str = "float64"
+    # Evaluate the while_loop convergence predicate once every
+    # ``check_every`` iterations (a fori_loop block runs in between, with
+    # updates frozen once converged so results are bit-identical to
+    # checking every iteration).  On TPU the data-dependent loop predicate
+    # forces a device round-trip per evaluation; amortizing it over a
+    # block removes that overhead at the price of up to check_every-1
+    # frozen (no-op) iterations of wasted bandwidth after convergence.
+    check_every: int = 1
 
     @property
     def needs_diff(self) -> bool:
@@ -108,27 +116,41 @@ def cg_loop(spmv: Callable, b, x0, opt: CGOptions,
         x, r, p, gamma, dxn2, k, conv = state
         return (k < opt.max_iterations) & jnp.logical_not(conv)
 
-    def body(state):
+    zero = jnp.array(0.0, dd)
+
+    def step(state):
         x, r, p, gamma, dxn2, k, conv = state
+        # once converged (or past max iterations inside a check block) the
+        # step freezes: alpha/beta select to 0 so x/r/gamma are unchanged —
+        # results are identical to checking the predicate every iteration
+        frozen = conv | (k >= opt.max_iterations)
         # named scopes = the reference's NVTX ranges (cgcuda.c:771-938),
         # visible in jax.profiler traces
         with jax.named_scope("acg.spmv"):
             t = spmv(p)
         with jax.named_scope("acg.dot"):
             pdott = reduce_fn(dot(p, t, dd))
-        alpha = gamma / pdott
+        alpha = jnp.where(frozen, zero, gamma / pdott)
         with jax.named_scope("acg.update"):
             x = x + (alpha.astype(vdtype)) * p
             r = r - (alpha.astype(vdtype)) * t
         with jax.named_scope("acg.nrm2"):
-            gamma_new = reduce_fn(nrm2sqr(r, dd))
+            gamma_new = jnp.where(frozen, gamma, reduce_fn(nrm2sqr(r, dd)))
         if opt.needs_diff:
             pn2 = reduce_fn(nrm2sqr(p, dd))
-            dxn2 = alpha * alpha * pn2
-        conv = _converged(gamma_new, dxn2, bnrm2sqr, x0nrm2sqr, opt)
-        beta = gamma_new / gamma
+            dxn2 = jnp.where(frozen, dxn2, alpha * alpha * pn2)
+        conv = conv | _converged(gamma_new, dxn2, bnrm2sqr, x0nrm2sqr, opt)
+        beta = jnp.where(frozen, zero, gamma_new / gamma)
         p = r + (beta.astype(vdtype)) * p
-        return (x, r, p, gamma_new, dxn2, k + 1, conv)
+        k = k + jnp.where(frozen, 0, 1).astype(jnp.int32)
+        return (x, r, p, gamma_new, dxn2, k, conv)
+
+    if opt.check_every <= 1:
+        body = step
+    else:
+        def body(state):
+            return jax.lax.fori_loop(0, opt.check_every,
+                                     lambda i, s: step(s), state)
 
     dxn2_0 = jnp.array(jnp.inf, dd)
     conv0 = _converged(gamma0, dxn2_0, bnrm2sqr, x0nrm2sqr, opt)
@@ -211,12 +233,19 @@ def pipelined_cg_loop(spmv: Callable, b, x0, opt: CGOptions,
         (x, r, w, z, t, p, gamma, delta, gprev, aprev, dxn2, k, conv) = state
         return (k < opt.max_iterations) & jnp.logical_not(conv)
 
-    def body(state):
+    zero = jnp.array(0.0, dd)
+
+    def step(state):
         (x, r, w, z, t, p, gamma, delta, gprev, aprev, dxn2, k, conv) = state
+        # frozen steps (post-convergence inside a check block) select
+        # alpha to 0 so x/r/w and the scalars are unchanged; z/t/p keep
+        # moving but only ever feed the solution through alpha terms
+        frozen = conv | (k >= opt.max_iterations)
         with jax.named_scope("acg.spmv"):
             q = spmv(w)
-        beta = jnp.where(k == 0, jnp.array(0.0, dd), gamma / gprev)
-        alpha = gamma / (delta - beta * gamma / aprev)
+        beta = jnp.where(k == 0, zero, gamma / gprev)
+        alpha = jnp.where(frozen, zero,
+                          gamma / (delta - beta * gamma / aprev))
         ab, bb = alpha.astype(vdtype), beta.astype(vdtype)
         with jax.named_scope("acg.fused_update"):
             z = q + bb * z
@@ -227,13 +256,24 @@ def pipelined_cg_loop(spmv: Callable, b, x0, opt: CGOptions,
             w = w - ab * z
         with jax.named_scope("acg.dot2"):
             gd = reduce_fn(dot2(r, r, w, r, dd))
-        gamma_new, delta_new = gd[0], gd[1]
+        gamma_new = jnp.where(frozen, gamma, gd[0])
+        delta_new = jnp.where(frozen, delta, gd[1])
         if opt.needs_diff:
             pn2 = reduce_fn(nrm2sqr(p, dd))
-            dxn2 = alpha * alpha * pn2
-        conv = _converged(gamma_new, dxn2, bnrm2sqr, x0nrm2sqr, opt)
-        return (x, r, w, z, t, p, gamma_new, delta_new, gamma, alpha,
-                dxn2, k + 1, conv)
+            dxn2 = jnp.where(frozen, dxn2, alpha * alpha * pn2)
+        conv = conv | _converged(gamma_new, dxn2, bnrm2sqr, x0nrm2sqr, opt)
+        gprev_new = jnp.where(frozen, gprev, gamma)
+        aprev_new = jnp.where(frozen, aprev, alpha)
+        k = k + jnp.where(frozen, 0, 1).astype(jnp.int32)
+        return (x, r, w, z, t, p, gamma_new, delta_new, gprev_new,
+                aprev_new, dxn2, k, conv)
+
+    if opt.check_every <= 1:
+        body = step
+    else:
+        def body(state):
+            return jax.lax.fori_loop(0, opt.check_every,
+                                     lambda i, s: step(s), state)
 
     dxn2_0 = jnp.array(jnp.inf, dd)
     conv0 = _converged(gamma0, dxn2_0, bnrm2sqr, x0nrm2sqr, opt)
