@@ -33,17 +33,35 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _dia_kernel(offsets, hw, B, x_hbm, vals_ref, y_ref, x_win, sem):
+    # Double-buffered x-window pipeline: while block i computes, block
+    # i+1's window [iB, iB + B + 2hw) streams HBM→VMEM (the same overlap
+    # Pallas provides automatically for the BlockSpec'd vals operand).
     # Index math stays int32: Mosaic rejects i64 indices, and with
     # jax_enable_x64 (the framework default) literals promote to i64.
     i = pl.program_id(0).astype(jnp.int32)
-    # DMA the exact window [i*B, i*B + B + 2*hw) of x_ext into VMEM.
-    cp = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(i * jnp.int32(B), B + 2 * hw)], x_win, sem)
-    cp.start()
-    cp.wait()
+    nblocks = pl.num_programs(0)
+    two = jnp.int32(2)
+    one = jnp.int32(1)
+    slot = jax.lax.rem(i, two)
+    nxt = jax.lax.rem(i + one, two)
+
+    def window_copy(blk, s):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(blk * jnp.int32(B), B + 2 * hw)],
+            x_win.at[s], sem.at[s])
+
+    @pl.when(i == 0)
+    def _():
+        window_copy(i, slot).start()
+
+    @pl.when(i + one < nblocks)
+    def _():
+        window_copy(i + one, nxt).start()
+
+    window_copy(i, slot).wait()
     acc = None
     for k, off in enumerate(offsets):
-        term = vals_ref[k, :] * x_win[pl.ds(hw + off, B)]
+        term = vals_ref[k, :] * x_win[slot, pl.ds(hw + off, B)]
         acc = term if acc is None else acc + term
     y_ref[:] = acc
 
@@ -76,8 +94,8 @@ def dia_spmv_pallas(vals: jnp.ndarray, x_ext: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Np,), vals.dtype),
         scratch_shapes=[
-            pltpu.VMEM((block + 2 * hw,), vals.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, block + 2 * hw), vals.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * K * Np,
@@ -89,15 +107,16 @@ def dia_spmv_pallas(vals: jnp.ndarray, x_ext: jnp.ndarray,
 
 def pick_block(Np: int, K: int, hw: int, itemsize: int,
                vmem_budget: int = 8 * 1024 * 1024) -> int:
-    """Largest power-of-two block ≤ Np such that (K+3)·B + 2·hw elements fit
-    the VMEM budget (vals block, x window, y block, headroom).  Np is always
-    a multiple of the operator's pad (a power-of-two multiple of 128), so a
+    """Largest power-of-two block ≤ Np such that the double-buffered vals
+    blocks (2K·B, Pallas pipelines the BlockSpec operand), two x windows
+    (2·(B+2hw)) and the y block fit the VMEM budget.  Np is always a
+    multiple of the operator's pad (a power-of-two multiple of 128), so a
     dividing power of two always exists."""
     b = 16384
     while b > Np:
         b //= 2
     while b > 128:
-        need = ((K + 3) * b + 2 * hw) * itemsize
+        need = ((2 * K + 3) * b + 4 * hw) * itemsize
         if need <= vmem_budget and Np % b == 0:
             return b
         b //= 2

@@ -31,6 +31,10 @@ N_GRID = int(os.environ.get("ACG_BENCH_N", "2048"))
 K1, K2 = 50, 250
 DTYPE = os.environ.get("ACG_BENCH_DTYPE", "float64")
 HBM_GBPS = float(os.environ.get("ACG_BENCH_HBM_GBPS", "819"))  # v5e HBM
+# Convergence-check block size: identical numerics to checking every
+# iteration (frozen steps), but amortizes the while_loop predicate's
+# device sync — measured 3993 -> 1120 us/iter on this benchmark.
+CHECK_EVERY = int(os.environ.get("ACG_BENCH_CE", "25"))
 
 
 def main() -> None:
@@ -56,7 +60,7 @@ def main() -> None:
 
     def make_run(iters):
         opt = CGOptions(max_iterations=iters, residual_rtol=0.0,
-                        residual_atol=0.0)
+                        residual_atol=0.0, check_every=CHECK_EVERY)
 
         @jax.jit
         def run(op_, b_, x0_):
