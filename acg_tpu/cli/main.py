@@ -85,6 +85,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="vector/matrix storage dtype [float64]")
     g.add_argument("--format", default="auto", choices=("auto", "dia", "ell"),
                    help="operator format [auto]")
+    g.add_argument("--backend", default="xla", choices=("xla", "pallas"),
+                   help="DIA SpMV implementation: xla shifted slices or the "
+                        "pallas streaming kernel [xla]")
     g = p.add_argument_group("communication options")
     g.add_argument("--comm", default="none",
                    choices=("none", "xla", "mpi", "nccl", "nvshmem"),
@@ -225,7 +228,8 @@ def main(argv=None) -> int:
                 offsets, vals = dia
                 return solve_dist_stencil(offsets, vals, b, nparts=nparts,
                                           x0=x0, opt=opt, method=method,
-                                          dtype=args.dtype)
+                                          dtype=args.dtype,
+                                          backend=args.backend)
             with timer.phase("partition"):
                 if args.partition:
                     part = read_partition(args.partition,
@@ -252,7 +256,8 @@ def main(argv=None) -> int:
             if dia is not None and args.format != "ell":
                 offsets, vals = dia
                 _op_cache["op"] = DiaOperator.from_arrays(offsets, vals,
-                                                          dtype=args.dtype)
+                                                          dtype=args.dtype,
+                                                          backend=args.backend)
             else:
                 ci, v = A.to_ell_arrays(epsilon=args.epsilon)
                 _op_cache["op"] = EllOperator.from_arrays(ci, v, dtype=args.dtype)

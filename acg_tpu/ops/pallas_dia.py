@@ -82,6 +82,13 @@ def dia_spmv_pallas(vals: jnp.ndarray, x_ext: jnp.ndarray,
     assert x_ext.shape[0] == Np + 2 * hw
     nblocks = Np // block
     kernel = functools.partial(_dia_kernel, offsets, hw, block)
+    # Inside shard_map the output must declare which mesh axes it varies
+    # over (vma); it varies exactly as the operand slabs do.
+    try:
+        vma = jax.typeof(vals).vma
+        out_shape = jax.ShapeDtypeStruct((Np,), vals.dtype, vma=vma)
+    except (AttributeError, TypeError):
+        out_shape = jax.ShapeDtypeStruct((Np,), vals.dtype)
     return pl.pallas_call(
         kernel,
         grid=(nblocks,),
@@ -92,7 +99,7 @@ def dia_spmv_pallas(vals: jnp.ndarray, x_ext: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec((block,), lambda i: (i,),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Np,), vals.dtype),
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((2, block + 2 * hw), vals.dtype),
             pltpu.SemaphoreType.DMA((2,)),
@@ -112,6 +119,8 @@ def pick_block(Np: int, K: int, hw: int, itemsize: int,
     (2·(B+2hw)) and the y block fit the VMEM budget.  Np is always a
     multiple of the operator's pad (a power-of-two multiple of 128), so a
     dividing power of two always exists."""
+    if Np <= 128:
+        return Np
     b = 16384
     while b > Np:
         b //= 2
@@ -120,7 +129,7 @@ def pick_block(Np: int, K: int, hw: int, itemsize: int,
         if need <= vmem_budget and Np % b == 0:
             return b
         b //= 2
-    return 128
+    return b if Np % b == 0 else Np
 
 
 class PallasDiaSpmv:

@@ -64,16 +64,26 @@ def pad_stencil_vector(plan: StencilPlan, x: np.ndarray) -> np.ndarray:
 
 
 def stencil_spmv_local(plan: StencilPlan, vals_l: jnp.ndarray,
-                       x_own: jnp.ndarray, axis: str = AXIS) -> jnp.ndarray:
+                       x_own: jnp.ndarray, axis: str = AXIS,
+                       backend: str = "xla") -> jnp.ndarray:
     """Per-device banded SpMV with ring halo (runs inside shard_map).
 
     vals_l: (K, L) local diagonal slabs, x_own: (L,).  The device's rows are
     a contiguous slice of the global banded matrix, so its SpMV is the
     row-slice of the global DIA product over x_ext = [left|own|right].
+    The interior rows depend only on x_own, so XLA overlaps the two
+    ppermutes with interior compute.  ``backend="pallas"`` runs the local
+    product through the single-pass streaming kernel (one read of x_ext
+    instead of K shifted reads — wins for wide stencils / large L).
     """
     hw = plan.hw
     left_ext, right_ext = stencil_halo(x_own, hw, plan.nparts, axis)
     x_ext = jnp.concatenate([left_ext, x_own, right_ext])
+    if backend == "pallas":
+        from ..ops.pallas_dia import dia_spmv_pallas, pick_block
+        block = pick_block(plan.L, len(plan.offsets), hw,
+                           vals_l.dtype.itemsize)
+        return dia_spmv_pallas(vals_l, x_ext, plan.offsets, hw, block)
     y = None
     for k, off in enumerate(plan.offsets):
         xk = lax.slice_in_dim(x_ext, hw + off, hw + off + plan.L)

@@ -98,9 +98,10 @@ def solve_dist_stencil(offsets, vals: np.ndarray, b: np.ndarray,
                        nparts: int | None = None, x0: np.ndarray | None = None,
                        opt: CGOptions = CGOptions(), method: str = "cg",
                        history: bool = False, dtype=None, pad_to: int = 256,
-                       devices=None):
+                       devices=None, backend: str = "xla"):
     """Distributed solve of a banded system (Config 3/4 of BASELINE.md).
 
+    ``backend="pallas"`` uses the streaming SpMV kernel per device.
     Returns (x (N,) numpy, SolveInfo)."""
     mesh, plan, vals_sh = build_stencil_dist(offsets, vals, nparts, dtype,
                                              pad_to, devices)
@@ -112,13 +113,14 @@ def solve_dist_stencil(offsets, vals: np.ndarray, b: np.ndarray,
     b_sh = jax.device_put(b_g, vsh)
     x0_sh = jax.device_put(x0_g, vsh)
 
-    key = ("stencil", _mesh_key(mesh), plan, opt, method, history)
+    key = ("stencil", _mesh_key(mesh), plan, opt, method, history, backend)
     run = _RUN_CACHE.get(key)
     if run is None:
         fn = _loop_fns(method, history)
 
         def local(vals_l, b_l, x0_l):
-            spmv = lambda xx: stencil_spmv_local(plan, vals_l, xx, AXIS)
+            spmv = lambda xx: stencil_spmv_local(plan, vals_l, xx, AXIS,
+                                                 backend)
             red = lambda v: lax.psum(v, AXIS)
             return fn(spmv, b_l, x0_l, opt, red)
 
@@ -129,7 +131,7 @@ def solve_dist_stencil(offsets, vals: np.ndarray, b: np.ndarray,
             (P(AXIS), scalar_spec, P())
         run = jax.jit(shard_map(local, mesh=mesh,
                                 in_specs=(P(None, AXIS), P(AXIS), P(AXIS)),
-                                out_specs=out_specs))
+                                out_specs=out_specs, check_vma=False))
         _RUN_CACHE[key] = run
     out = run(vals_sh, b_sh, x0_sh)
     if history:
@@ -215,7 +217,7 @@ def solve_dist_general(pm: PartitionedMatrix, b: np.ndarray,
         out_specs = (P(AXIS), scalar_spec) if not history else \
             (P(AXIS), scalar_spec, P())
         run = jax.jit(shard_map(local, mesh=mesh, in_specs=in_specs,
-                                out_specs=out_specs))
+                                out_specs=out_specs, check_vma=False))
         _RUN_CACHE[key] = run
     out = run(own_ci, own_v, gst_ci, gst_v, send_idx, g_dev, g_slot, b_l, x0_l)
     if history:

@@ -37,17 +37,28 @@ HBM_GBPS = float(os.environ.get("ACG_BENCH_HBM_GBPS", "819"))  # v5e HBM
 CHECK_EVERY = int(os.environ.get("ACG_BENCH_CE", "25"))
 
 
+DIM = int(os.environ.get("ACG_BENCH_DIM", "2"))         # 2 or 3
+STENCIL = int(os.environ.get("ACG_BENCH_STENCIL", "0"))  # 0=default (5 / 7)
+BACKEND = os.environ.get("ACG_BENCH_BACKEND", "xla")     # xla | pallas
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
 
     import acg_tpu  # noqa: F401
     from acg_tpu.core.dia import DiaOperator
-    from acg_tpu.io.generators import poisson2d_dia
+    from acg_tpu.io.generators import poisson2d_dia, poisson3d_dia
     from acg_tpu.solvers.cg import CGOptions, pipelined_cg_loop
 
-    offsets, vals = poisson2d_dia(N_GRID, dtype=np.dtype(DTYPE))
-    op = DiaOperator.from_arrays(offsets, vals, pad_to=1024)
+    if DIM == 2:
+        offsets, vals = poisson2d_dia(N_GRID, dtype=np.dtype(DTYPE))
+        name = f"poisson2d_n{N_GRID}"
+    else:
+        offsets, vals = poisson3d_dia(N_GRID, STENCIL or 7,
+                                      dtype=np.dtype(DTYPE))
+        name = f"poisson3d_n{N_GRID}_{STENCIL or 7}pt"
+    op = DiaOperator.from_arrays(offsets, vals, pad_to=1024, backend=BACKEND)
     N, Np, K = op.N, op.Np, len(op.offsets)
     rng = np.random.default_rng(0)
     xstar = rng.standard_normal(N)
@@ -69,16 +80,19 @@ def main() -> None:
 
         return run
 
-    def timed(run, reps=4):
-        # warmup + compile, then min over reps (the tunnel's fetch cost has
-        # seconds-scale variance; min-of-reps + differencing removes it)
+    def timed(run, reps=6):
+        # warmup + compile, then min over reps.  Timing syncs with
+        # block_until_ready (device completion) rather than fetching
+        # values: tunnel data fetches have seconds-scale variance that
+        # survives min-of-reps and corrupts the differencing.
         r = run(op, b, x0)
-        _ = float(r[0]) + float(r[1])
+        jax.block_until_ready(r)
+        _ = float(r[1])   # sanity: force one real fetch outside timing
         best = float("inf")
         for _i in range(reps):
             t0 = time.perf_counter()
             r = run(op, b, x0)
-            _ = float(r[0]) + float(r[1])
+            jax.block_until_ready(r)
             best = min(best, time.perf_counter() - t0)
         return best
 
@@ -96,7 +110,7 @@ def main() -> None:
     vs = roofline / per_iter if per_iter > 0 else 0.0
 
     print(json.dumps({
-        "metric": f"poisson2d_n{N_GRID}_pipelined_cg_iteration_time",
+        "metric": f"{name}_pipelined_cg_iteration_time",
         "value": per_iter * 1e6,
         "unit": "us/iteration",
         "vs_baseline": round(vs, 4),

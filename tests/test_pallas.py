@@ -76,3 +76,26 @@ def test_pick_block():
     assert pallas_dia.pick_block(4096 * 1024, 5, 2048, 4) >= 1024
     b = pallas_dia.pick_block(5 * 1024, 27, 512, 8)
     assert 5 * 1024 % b == 0
+
+
+def test_dist_stencil_pallas_backend(rng):
+    """Distributed stencil solve with the pallas SpMV per device must match
+    the xla backend bit-for-bit (same reduction order)."""
+    from acg_tpu.solvers.cg import CGOptions
+    from acg_tpu.solvers.dist_cg import solve_dist_stencil
+
+    offsets, vals = poisson2d_dia(16)
+    rowidx, colidx, a, N = dia_to_coo(offsets, vals)
+    A = sp.coo_matrix((a, (rowidx, colidx)), shape=(N, N)).tocsr()
+    xstar = rng.standard_normal(N)
+    b = A @ xstar
+    opt = CGOptions(max_iterations=200, residual_rtol=1e-10)
+    xp, ip = solve_dist_stencil(offsets, vals, b, nparts=4, opt=opt,
+                                method="pipelined", pad_to=128,
+                                backend="pallas")
+    xx, ix = solve_dist_stencil(offsets, vals, b, nparts=4, opt=opt,
+                                method="pipelined", pad_to=128,
+                                backend="xla")
+    assert ip.converged
+    assert ip.niterations == ix.niterations
+    np.testing.assert_allclose(xp, xx, rtol=1e-12, atol=1e-12)
