@@ -215,6 +215,8 @@ def main(argv=None) -> int:
                 return 1
 
     # --- solve --------------------------------------------------------------
+    _halo_info = {"bytes": 0}   # per-exchange wire volume for the stats report
+
     def run_once():
         if args.solver in ("scipy", "petsc"):
             return solve_scipy(A.to_scipy_full(args.epsilon), b, x0, opt)
@@ -226,6 +228,9 @@ def main(argv=None) -> int:
             if dia is not None and args.partition is None \
                     and args.partition_method == "contiguous":
                 offsets, vals = dia
+                hw = max(1, int(np.abs(offsets).max()))
+                _halo_info["bytes"] = (2 * hw * (nparts - 1)
+                                       * np.dtype(args.dtype).itemsize)
                 return solve_dist_stencil(offsets, vals, b, nparts=nparts,
                                           x0=x0, opt=opt, method=method,
                                           dtype=args.dtype,
@@ -242,6 +247,8 @@ def main(argv=None) -> int:
                 pm = build_partitioned_matrix(A.to_scipy_full(args.epsilon), part)
             if args.output_comm_matrix:
                 _print_comm_matrix(pm.comm_matrix)
+            _halo_info["bytes"] = (int(pm.comm_matrix.sum())
+                                   * np.dtype(args.dtype).itemsize)
             return solve_dist_general(pm, b, x0=x0, opt=opt, method=method,
                                       dtype=args.dtype, halo=args.halo)
         op = _make_op()
@@ -297,7 +304,8 @@ def main(argv=None) -> int:
         try:
             op = _make_op()
             report = format_report(op, info, opt, args.solver, tsolve,
-                                   nparts=nparts)
+                                   nparts=nparts,
+                                   halo_bytes_per_exchange=_halo_info["bytes"])
             print(report, file=sys.stderr)
         except Exception as e:  # stats must never break the solve output
             print(f"(stats unavailable: {e})", file=sys.stderr)
