@@ -83,6 +83,12 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--dtype", default="float64",
                    choices=("float64", "float32"),
                    help="vector/matrix storage dtype [float64]")
+    g.add_argument("--dot-dtype", default="float64",
+                   choices=("float64", "float32", "mixed"),
+                   help="dot-product accumulation: float64, float32, or "
+                        "mixed (blockwise storage-dtype sums, f64 across "
+                        "blocks — the fast path with --dtype float32) "
+                        "[float64]")
     g.add_argument("--format", default="auto", choices=("auto", "dia", "ell"),
                    help="operator format [auto]")
     g.add_argument("--backend", default="xla", choices=("xla", "pallas"),
@@ -154,7 +160,8 @@ def main(argv=None) -> int:
                     diff_atol=args.diff_atol, diff_rtol=args.diff_rtol,
                     residual_atol=args.residual_atol,
                     residual_rtol=args.residual_rtol,
-                    check_every=args.check_every)
+                    check_every=args.check_every,
+                    dot_dtype=args.dot_dtype)
 
     with timer.phase("read"):
         mtx = read_mtx(args.A, gzip=args.gzip or None, binary=args.binary)

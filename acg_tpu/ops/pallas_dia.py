@@ -32,10 +32,13 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _dia_kernel(offsets, hw, B, x_hbm, vals_ref, y_ref, x_win, sem):
+def _dia_kernel(offsets, hw, B, x_hbm, vals_ref, y_ref, win0, win1, sem):
     # Double-buffered x-window pipeline: while block i computes, block
     # i+1's window [iB, iB + B + 2hw) streams HBM→VMEM (the same overlap
     # Pallas provides automatically for the BlockSpec'd vals operand).
+    # Two separate window buffers (not a (2, L) scratch sliced by a traced
+    # index — Mosaic cannot slice the sublane-tiled leading dim), with the
+    # compute predicated on the block's parity.
     # Index math stays int32: Mosaic rejects i64 indices, and with
     # jax_enable_x64 (the framework default) literals promote to i64.
     i = pl.program_id(0).astype(jnp.int32)
@@ -45,25 +48,39 @@ def _dia_kernel(offsets, hw, B, x_hbm, vals_ref, y_ref, x_win, sem):
     slot = jax.lax.rem(i, two)
     nxt = jax.lax.rem(i + one, two)
 
-    def window_copy(blk, s):
+    def window_copy(blk, win, s):
         return pltpu.make_async_copy(
             x_hbm.at[pl.ds(blk * jnp.int32(B), B + 2 * hw)],
-            x_win.at[s], sem.at[s])
+            win, sem.at[jnp.int32(s)])
 
     @pl.when(i == 0)
     def _():
-        window_copy(i, slot).start()
+        window_copy(i, win0, 0).start()
 
-    @pl.when(i + one < nblocks)
+    @pl.when((i + one < nblocks) & (nxt == 0))
     def _():
-        window_copy(i + one, nxt).start()
+        window_copy(i + one, win0, 0).start()
 
-    window_copy(i, slot).wait()
-    acc = None
-    for k, off in enumerate(offsets):
-        term = vals_ref[k, :] * x_win[slot, pl.ds(hw + off, B)]
-        acc = term if acc is None else acc + term
-    y_ref[:] = acc
+    @pl.when((i + one < nblocks) & (nxt == 1))
+    def _():
+        window_copy(i + one, win1, 1).start()
+
+    def compute(win):
+        acc = None
+        for k, off in enumerate(offsets):
+            term = vals_ref[k, :] * win[pl.ds(hw + off, B)]
+            acc = term if acc is None else acc + term
+        y_ref[:] = acc
+
+    @pl.when(slot == 0)
+    def _():
+        window_copy(i, win0, 0).wait()
+        compute(win0)
+
+    @pl.when(slot == 1)
+    def _():
+        window_copy(i, win1, 1).wait()
+        compute(win1)
 
 
 @functools.partial(jax.jit, static_argnames=("offsets", "hw", "block"))
@@ -80,6 +97,12 @@ def dia_spmv_pallas(vals: jnp.ndarray, x_ext: jnp.ndarray,
     K, Np = vals.shape
     assert Np % block == 0, (Np, block)
     assert x_ext.shape[0] == Np + 2 * hw
+    if vals.dtype == jnp.float64 and jax.default_backend() not in ("cpu",):
+        # Mosaic has no f64 tiling on TPU (XLA emulates f64 outside Pallas).
+        raise NotImplementedError(
+            "the pallas DIA backend requires float32 storage on TPU "
+            "(use dtype=float32 with f64 dot accumulation — the fast path — "
+            "or backend='xla' for float64)")
     nblocks = Np // block
     kernel = functools.partial(_dia_kernel, offsets, hw, block)
     # Inside shard_map the output must declare which mesh axes it varies
@@ -101,7 +124,8 @@ def dia_spmv_pallas(vals: jnp.ndarray, x_ext: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((2, block + 2 * hw), vals.dtype),
+            pltpu.VMEM((block + 2 * hw,), vals.dtype),
+            pltpu.VMEM((block + 2 * hw,), vals.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(

@@ -90,6 +90,19 @@ def _converged(rnrm2sqr, dxnrm2sqr, bnrm2sqr, x0nrm2sqr, opt: CGOptions):
     return c
 
 
+
+def _dot_dtypes(opt: CGOptions):
+    """(scalar dtype, reduction mode) for the configured dot_dtype.
+
+    "mixed" keeps all scalar recurrences in float64 but reduces dots
+    blockwise in the storage dtype (ops/blas1.py) — the TPU fast path
+    when vectors are float32 (no native f64 ALUs)."""
+    if opt.dot_dtype == "mixed":
+        return jnp.dtype(jnp.float64), "mixed"
+    dt = jnp.dtype(opt.dot_dtype)
+    return dt, dt
+
+
 # ---------------------------------------------------------------------------
 # Classic CG
 
@@ -103,13 +116,13 @@ def cg_loop(spmv: Callable, b, x0, opt: CGOptions,
     ``reduce_fn`` sums a scalar or small vector across devices (identity on
     one device, ``psum`` when called under shard_map).
     """
-    dd = jnp.dtype(opt.dot_dtype)
+    dd, ddm = _dot_dtypes(opt)
     vdtype = b.dtype
 
-    bnrm2sqr = reduce_fn(nrm2sqr(b, dd))
-    x0nrm2sqr = reduce_fn(nrm2sqr(x0, dd))
+    bnrm2sqr = reduce_fn(nrm2sqr(b, ddm))
+    x0nrm2sqr = reduce_fn(nrm2sqr(x0, ddm))
     r = b - spmv(x0)
-    gamma0 = reduce_fn(nrm2sqr(r, dd))        # γ = r·r (reused for α numerator)
+    gamma0 = reduce_fn(nrm2sqr(r, ddm))        # γ = r·r (reused for α numerator)
     p = r
 
     def cond(state):
@@ -129,15 +142,15 @@ def cg_loop(spmv: Callable, b, x0, opt: CGOptions,
         with jax.named_scope("acg.spmv"):
             t = spmv(p)
         with jax.named_scope("acg.dot"):
-            pdott = reduce_fn(dot(p, t, dd))
+            pdott = reduce_fn(dot(p, t, ddm))
         alpha = jnp.where(frozen, zero, gamma / pdott)
         with jax.named_scope("acg.update"):
             x = x + (alpha.astype(vdtype)) * p
             r = r - (alpha.astype(vdtype)) * t
         with jax.named_scope("acg.nrm2"):
-            gamma_new = jnp.where(frozen, gamma, reduce_fn(nrm2sqr(r, dd)))
+            gamma_new = jnp.where(frozen, gamma, reduce_fn(nrm2sqr(r, ddm)))
         if opt.needs_diff:
-            pn2 = reduce_fn(nrm2sqr(p, dd))
+            pn2 = reduce_fn(nrm2sqr(p, ddm))
             dxn2 = jnp.where(frozen, dxn2, alpha * alpha * pn2)
         conv = conv | _converged(gamma_new, dxn2, bnrm2sqr, x0nrm2sqr, opt)
         beta = jnp.where(frozen, zero, gamma_new / gamma)
@@ -168,24 +181,24 @@ def cg_history_scan(spmv: Callable, b, x0, opt: CGOptions,
     residual norm each iteration (the residual-history regression oracle,
     SURVEY.md §4.2).  Updates freeze once converged so the history is flat
     after convergence."""
-    dd = jnp.dtype(opt.dot_dtype)
+    dd, ddm = _dot_dtypes(opt)
     vdtype = b.dtype
     n = opt.max_iterations if niters is None else niters
 
-    bnrm2sqr = reduce_fn(nrm2sqr(b, dd))
-    x0nrm2sqr = reduce_fn(nrm2sqr(x0, dd))
+    bnrm2sqr = reduce_fn(nrm2sqr(b, ddm))
+    x0nrm2sqr = reduce_fn(nrm2sqr(x0, ddm))
     r = b - spmv(x0)
-    gamma0 = reduce_fn(nrm2sqr(r, dd))
+    gamma0 = reduce_fn(nrm2sqr(r, ddm))
     conv0 = _converged(gamma0, jnp.array(jnp.inf, dd), bnrm2sqr, x0nrm2sqr, opt)
 
     def step(state, _):
         x, r, p, gamma, k, conv = state
         t = spmv(p)
-        pdott = reduce_fn(dot(p, t, dd))
+        pdott = reduce_fn(dot(p, t, ddm))
         alpha = jnp.where(conv, 0.0, gamma / pdott)
         x = x + alpha.astype(vdtype) * p
         r = r - alpha.astype(vdtype) * t
-        gamma_new = jnp.where(conv, gamma, reduce_fn(nrm2sqr(r, dd)))
+        gamma_new = jnp.where(conv, gamma, reduce_fn(nrm2sqr(r, ddm)))
         conv_new = conv | _converged(gamma_new, jnp.array(jnp.inf, dd),
                                      bnrm2sqr, x0nrm2sqr, opt)
         beta = jnp.where(conv, 0.0, gamma_new / gamma)
@@ -217,14 +230,14 @@ def pipelined_cg_loop(spmv: Callable, b, x0, opt: CGOptions,
         x += αp ; r −= αt ; w −= αz
     where q = Aw, and (γ, δ) = (r·r, w·r) are reduced together.
     """
-    dd = jnp.dtype(opt.dot_dtype)
+    dd, ddm = _dot_dtypes(opt)
     vdtype = b.dtype
 
-    bnrm2sqr = reduce_fn(nrm2sqr(b, dd))
-    x0nrm2sqr = reduce_fn(nrm2sqr(x0, dd))
+    bnrm2sqr = reduce_fn(nrm2sqr(b, ddm))
+    x0nrm2sqr = reduce_fn(nrm2sqr(x0, ddm))
     r = b - spmv(x0)
     w = spmv(r)
-    gd0 = reduce_fn(dot2(r, r, w, r, dd))
+    gd0 = reduce_fn(dot2(r, r, w, r, ddm))
     gamma0, delta0 = gd0[0], gd0[1]
 
     zeros = jnp.zeros_like(b)
@@ -255,11 +268,11 @@ def pipelined_cg_loop(spmv: Callable, b, x0, opt: CGOptions,
             r = r - ab * t
             w = w - ab * z
         with jax.named_scope("acg.dot2"):
-            gd = reduce_fn(dot2(r, r, w, r, dd))
+            gd = reduce_fn(dot2(r, r, w, r, ddm))
         gamma_new = jnp.where(frozen, gamma, gd[0])
         delta_new = jnp.where(frozen, delta, gd[1])
         if opt.needs_diff:
-            pn2 = reduce_fn(nrm2sqr(p, dd))
+            pn2 = reduce_fn(nrm2sqr(p, ddm))
             dxn2 = jnp.where(frozen, dxn2, alpha * alpha * pn2)
         conv = conv | _converged(gamma_new, dxn2, bnrm2sqr, x0nrm2sqr, opt)
         gprev_new = jnp.where(frozen, gprev, gamma)
@@ -292,15 +305,15 @@ def pipelined_cg_history_scan(spmv: Callable, b, x0, opt: CGOptions,
                               reduce_fn: Callable = lambda v: v,
                               niters: int | None = None):
     """Pipelined CG with per-iteration residual history (fixed length)."""
-    dd = jnp.dtype(opt.dot_dtype)
+    dd, ddm = _dot_dtypes(opt)
     vdtype = b.dtype
     n = opt.max_iterations if niters is None else niters
 
-    bnrm2sqr = reduce_fn(nrm2sqr(b, dd))
-    x0nrm2sqr = reduce_fn(nrm2sqr(x0, dd))
+    bnrm2sqr = reduce_fn(nrm2sqr(b, ddm))
+    x0nrm2sqr = reduce_fn(nrm2sqr(x0, ddm))
     r = b - spmv(x0)
     w = spmv(r)
-    gd0 = reduce_fn(dot2(r, r, w, r, dd))
+    gd0 = reduce_fn(dot2(r, r, w, r, ddm))
     gamma0, delta0 = gd0[0], gd0[1]
     zeros = jnp.zeros_like(b)
     conv0 = _converged(gamma0, jnp.array(jnp.inf, dd), bnrm2sqr, x0nrm2sqr, opt)
@@ -318,7 +331,7 @@ def pipelined_cg_history_scan(spmv: Callable, b, x0, opt: CGOptions,
         x = x + ab * p
         r = r - ab * t
         w = w - ab * z
-        gd = reduce_fn(dot2(r, r, w, r, dd))
+        gd = reduce_fn(dot2(r, r, w, r, ddm))
         gamma_new = jnp.where(conv, gamma, gd[0])
         delta_new = jnp.where(conv, delta, gd[1])
         conv_new = conv | _converged(gamma_new, jnp.array(jnp.inf, dd),

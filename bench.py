@@ -40,6 +40,7 @@ CHECK_EVERY = int(os.environ.get("ACG_BENCH_CE", "25"))
 DIM = int(os.environ.get("ACG_BENCH_DIM", "2"))         # 2 or 3
 STENCIL = int(os.environ.get("ACG_BENCH_STENCIL", "0"))  # 0=default (5 / 7)
 BACKEND = os.environ.get("ACG_BENCH_BACKEND", "xla")     # xla | pallas
+DOT = os.environ.get("ACG_BENCH_DOT", "float64")         # float64|float32|mixed
 
 
 def main() -> None:
@@ -71,7 +72,8 @@ def main() -> None:
 
     def make_run(iters):
         opt = CGOptions(max_iterations=iters, residual_rtol=0.0,
-                        residual_atol=0.0, check_every=CHECK_EVERY)
+                        residual_atol=0.0, check_every=CHECK_EVERY,
+                        dot_dtype=DOT)
 
         @jax.jit
         def run(op_, b_, x0_):

@@ -164,3 +164,20 @@ def test_3d_poisson_27pt(rng):
     x, info = solve(op, b, opt=CGOptions(max_iterations=500, residual_rtol=1e-10))
     assert info.converged
     assert np.linalg.norm(x - xstar) < 1e-7
+
+
+def test_mixed_dot_accumulation(rng):
+    """dot_dtype="mixed" (blockwise f32 sums, f64 across blocks) converges
+    like full-f64 dots on the f32 fast path, with near-identical history."""
+    offsets, vals = poisson2d_dia(16)
+    op32 = DiaOperator.from_arrays(offsets, vals, dtype=np.float32, pad_to=1024)
+    rowidx, colidx, a, N = dia_to_coo(offsets, vals)
+    A = sp.coo_matrix((a, (rowidx, colidx)), shape=(N, N)).tocsr()
+    xstar, b = manufactured(rng, A, N)
+    o64 = CGOptions(max_iterations=2000, residual_rtol=1e-5, dot_dtype="float64")
+    omx = CGOptions(max_iterations=2000, residual_rtol=1e-5, dot_dtype="mixed")
+    x1, i1 = solve(op32, b, opt=o64, method="pipelined")
+    x2, i2 = solve(op32, b, opt=omx, method="pipelined")
+    assert i2.converged
+    assert abs(i2.niterations - i1.niterations) <= 3
+    assert np.linalg.norm(x2 - xstar) / np.linalg.norm(xstar) < 1e-3
