@@ -26,6 +26,10 @@ import numpy as np
 VERSION_STRING = "acg-tpu 0.1.0 (TPU-native re-design of aCG 1.0.0 capabilities)"
 
 SOLVERS = ("acg", "acg-pipelined", "acg-host", "acg-host-pipelined",
+           "acg-device", "acg-device-pipelined",   # reference script parity:
+           # the compiled while_loop IS the device-initiated variant, so
+           # these are aliases of acg / acg-pipelined (DESIGN.md)
+           "acg-fused",   # one-pass pipelined iteration kernel (DIA, 1 chip)
            "scipy", "petsc", "jax-ref")
 
 
@@ -230,6 +234,17 @@ def main(argv=None) -> int:
         if args.solver == "jax-ref":
             op = _make_op()
             return solve_jax_ref(op, b, x0, opt)
+        if args.solver == "acg-fused":
+            if nparts > 1:
+                print("error: --solver acg-fused is single-device "
+                      "(use acg-pipelined with --nparts)", file=sys.stderr)
+                raise SystemExit(1)
+            op = _make_op()
+            if not hasattr(op, "offsets"):
+                print("error: --solver acg-fused requires the DIA format",
+                      file=sys.stderr)
+                raise SystemExit(1)
+            return solve(op, b, x0, opt, "pipelined-fused")
         method = "pipelined" if "pipelined" in args.solver else "cg"
         if nparts > 1:
             if dia is not None and args.partition is None \

@@ -121,6 +121,9 @@ class DiaOperator:
     def spmv(self, x: jnp.ndarray) -> jnp.ndarray:
         """y = A @ x for a single-device operator; x, y are (Np,)."""
         hw = self.halo_width
+        if self.backend == "pallas":
+            from ..ops.pallas_dia import pallas_halo_width
+            hw = pallas_halo_width(hw)
         return self.spmv_ext(self.extend(x, hw), hw)
 
     def flops_per_spmv(self) -> int:

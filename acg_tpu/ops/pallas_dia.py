@@ -32,6 +32,14 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def pallas_halo_width(hw: int) -> int:
+    """Halo width to EXTEND vectors by for the pallas kernels: rounded up
+    so the DMA'd x window (block + 2*hw) stays aligned to the 1024-element
+    1-D VMEM tile (Mosaic requires tile-aligned slice lengths).  Blocks are
+    themselves multiples of 1024, so hw must be a multiple of 512."""
+    return max(_round_up(hw, 512), 512)
+
+
 def _dia_kernel(offsets, hw, B, x_hbm, vals_ref, y_ref, win0, win1, sem):
     # Double-buffered x-window pipeline: while block i computes, block
     # i+1's window [iB, iB + B + 2hw) streams HBM→VMEM (the same overlap
@@ -105,6 +113,8 @@ def dia_spmv_pallas(vals: jnp.ndarray, x_ext: jnp.ndarray,
             "or backend='xla' for float64)")
     nblocks = Np // block
     kernel = functools.partial(_dia_kernel, offsets, hw, block)
+    # CPU has no Mosaic: run interpreted there (tests, CLI smoke runs).
+    interpret = jax.default_backend() == "cpu"
     # Inside shard_map the output must declare which mesh axes it varies
     # over (vma); it varies exactly as the operand slabs do.
     try:
@@ -133,6 +143,7 @@ def dia_spmv_pallas(vals: jnp.ndarray, x_ext: jnp.ndarray,
             bytes_accessed=(K * Np + 2 * Np + 2 * hw * nblocks) * vals.dtype.itemsize,
             transcendentals=0,
         ),
+        interpret=interpret,
     )(x_ext, vals)
 
 

@@ -1,0 +1,183 @@
+"""Fused pipelined-CG iteration kernel: SpMV + 6-vector update + dots in
+ONE pass over HBM.
+
+The reference fuses the pipelined update into one CUDA kernel
+(pipelined_daxpy_fused, cg-kernels-cuda.cu:187-269) but still runs SpMV
+and the dots as separate passes.  This kernel goes further — per block it
+
+    q  = Σ_k vals[k] ⊙ w_win[off_k : off_k+B]        (SpMV, Gear's q=Aw)
+    z' = q + βz ; t' = w + βt ; p' = r + βp           (fused update)
+    x' = x + αp' ; r' = r − αt' ; w' = w − αz'
+    partial = (Σ r'r', Σ w'r')                        (dot2 for γ', δ')
+
+reading each vector exactly once: vals K·N + w_ext ~N + {r,z,t,p,x} 5N in,
+{x,r,w,z,t,p} 6N out ≈ (K+12)·N streamed vs (K+17)·N for the separate
+SpMV/update/dot passes.  α and β are precomputed f64 scalars (they depend
+only on the previous iteration's reductions) cast to the storage dtype
+and staged through SMEM.  Per-block dot partials are emitted per grid
+step and summed in f64 outside — the "mixed" accumulation contract of
+ops/blas1.py at block size B.
+
+The w window is double-buffered exactly as in pallas_dia.py.  f32-only on
+hardware (Mosaic has no f64 tiling); interpret mode covers any dtype.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(offsets, hw, B, w_hbm,
+            ab_ref, bb_ref, vals_ref, x_ref, r_ref, z_ref, t_ref, p_ref,
+            xo_ref, ro_ref, wo_ref, zo_ref, to_ref, po_ref, part_ref,
+            win0, win1, sem):
+    i = pl.program_id(0).astype(jnp.int32)
+    nblocks = pl.num_programs(0)
+    two = jnp.int32(2)
+    one = jnp.int32(1)
+    slot = jax.lax.rem(i, two)
+    nxt = jax.lax.rem(i + one, two)
+
+    def window_copy(blk, win, s):
+        return pltpu.make_async_copy(
+            w_hbm.at[pl.ds(blk * jnp.int32(B), B + 2 * hw)],
+            win, sem.at[jnp.int32(s)])
+
+    @pl.when(i == 0)
+    def _():
+        window_copy(i, win0, 0).start()
+
+    @pl.when((i + one < nblocks) & (nxt == 0))
+    def _():
+        window_copy(i + one, win0, 0).start()
+
+    @pl.when((i + one < nblocks) & (nxt == 1))
+    def _():
+        window_copy(i + one, win1, 1).start()
+
+    ab = ab_ref[0, 0]
+    bb = bb_ref[0, 0]
+
+    def compute(win):
+        q = None
+        for k, off in enumerate(offsets):
+            term = vals_ref[k, :] * win[pl.ds(hw + off, B)]
+            q = term if q is None else q + term
+        w = win[pl.ds(hw, B)]
+        z2 = q + bb * z_ref[:]
+        t2 = w + bb * t_ref[:]
+        p2 = r_ref[:] + bb * p_ref[:]
+        x2 = x_ref[:] + ab * p2
+        r2 = r_ref[:] - ab * t2
+        w2 = w - ab * z2
+        xo_ref[:] = x2
+        ro_ref[:] = r2
+        wo_ref[:] = w2
+        zo_ref[:] = z2
+        to_ref[:] = t2
+        po_ref[:] = p2
+        part_ref[i, 0] = jnp.sum(r2 * r2)
+        part_ref[i, 1] = jnp.sum(w2 * r2)
+
+    @pl.when(slot == 0)
+    def _():
+        window_copy(i, win0, 0).wait()
+        compute(win0)
+
+    @pl.when(slot == 1)
+    def _():
+        window_copy(i, win1, 1).wait()
+        compute(win1)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("offsets", "hw", "block"))
+def fused_pipelined_iter(vals, w_ext, x, r, z, t, p, alpha, beta,
+                         offsets: tuple[int, ...], hw: int, block: int):
+    """One fused pipelined-CG iteration.
+
+    vals (K, Np); w_ext (Np + 2hw) halo/zero-extended; x/r/z/t/p (Np,);
+    alpha/beta scalars castable to the storage dtype.  Returns
+    (x', r', w', z', t', p', gd) with gd = (γ', δ') as a float64 (2,)
+    vector (per-block partials summed in f64 — "mixed" accumulation).
+    """
+    K, Np = vals.shape
+    assert Np % block == 0, (Np, block)
+    assert w_ext.shape[0] == Np + 2 * hw
+    if vals.dtype == jnp.float64 and jax.default_backend() not in ("cpu",):
+        raise NotImplementedError(
+            "the fused pipelined kernel requires float32 storage on TPU")
+    nblocks = Np // block
+    kernel = functools.partial(_kernel, offsets, hw, block)
+    vdt = vals.dtype
+    ab = jnp.reshape(alpha.astype(vdt), (1, 1))
+    bb = jnp.reshape(beta.astype(vdt), (1, 1))
+
+    try:
+        vma = jax.typeof(vals).vma
+        vec = lambda: jax.ShapeDtypeStruct((Np,), vdt, vma=vma)
+        parts_shape = jax.ShapeDtypeStruct((nblocks, 2), vdt, vma=vma)
+    except (AttributeError, TypeError):
+        vec = lambda: jax.ShapeDtypeStruct((Np,), vdt)
+        parts_shape = jax.ShapeDtypeStruct((nblocks, 2), vdt)
+
+    # index maps must return int32: Python-int returns trace to i64 under
+    # jax_enable_x64 and Mosaic fails to legalize the index-map function
+    z32 = np.int32(0)
+    blk = lambda: pl.BlockSpec((block,), lambda i: (i,),
+                               memory_space=pltpu.VMEM)
+    smem_scalar = lambda: pl.BlockSpec((1, 1), lambda i: (z32, z32),
+                                       memory_space=pltpu.SMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),               # w_ext in HBM
+            smem_scalar(),                                   # alpha
+            smem_scalar(),                                   # beta
+            pl.BlockSpec((K, block), lambda i: (z32, i),
+                         memory_space=pltpu.VMEM),           # vals
+            blk(), blk(), blk(), blk(), blk(),               # x r z t p
+        ],
+        out_specs=(blk(), blk(), blk(), blk(), blk(), blk(),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),  # full (nblocks, 2)
+        out_shape=(vec(), vec(), vec(), vec(), vec(), vec(), parts_shape),
+        scratch_shapes=[
+            pltpu.VMEM((block + 2 * hw,), vdt),
+            pltpu.VMEM((block + 2 * hw,), vdt),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=(2 * K + 12) * Np,
+            bytes_accessed=(K + 12) * Np * vdt.itemsize,
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(w_ext, ab, bb, vals, x, r, z, t, p)
+    x2, r2, w2, z2, t2, p2, parts = out
+    gd = jnp.sum(parts.astype(jnp.float64), axis=0)
+    return x2, r2, w2, z2, t2, p2, gd
+
+
+def pick_block_fused(Np: int, K: int, hw: int, itemsize: int,
+                     vmem_budget: int = 10 * 1024 * 1024) -> int:
+    """Largest power-of-two block such that the kernel's VMEM residents fit:
+    double-buffered vals (2K·B), 5 in + 6 out blocks double-buffered
+    (22·B), two w windows (2·(B+2hw))."""
+    if Np <= 128:
+        return Np
+    b = 16384
+    while b > Np:
+        b //= 2
+    while b > 128:
+        need = ((2 * K + 24) * b + 4 * hw) * itemsize
+        if need <= vmem_budget and Np % b == 0:
+            return b
+        b //= 2
+    return b if Np % b == 0 else Np

@@ -78,12 +78,16 @@ def stencil_spmv_local(plan: StencilPlan, vals_l: jnp.ndarray,
     """
     hw = plan.hw
     left_ext, right_ext = stencil_halo(x_own, hw, plan.nparts, axis)
-    x_ext = jnp.concatenate([left_ext, x_own, right_ext])
     if backend == "pallas":
-        from ..ops.pallas_dia import dia_spmv_pallas, pick_block
-        block = pick_block(plan.L, len(plan.offsets), hw,
+        from ..ops.pallas_dia import (dia_spmv_pallas, pallas_halo_width,
+                                      pick_block)
+        hw_p = pallas_halo_width(hw)
+        pad = jnp.zeros((hw_p - hw,), x_own.dtype)
+        x_ext = jnp.concatenate([pad, left_ext, x_own, right_ext, pad])
+        block = pick_block(plan.L, len(plan.offsets), hw_p,
                            vals_l.dtype.itemsize)
-        return dia_spmv_pallas(vals_l, x_ext, plan.offsets, hw, block)
+        return dia_spmv_pallas(vals_l, x_ext, plan.offsets, hw_p, block)
+    x_ext = jnp.concatenate([left_ext, x_own, right_ext])
     y = None
     for k, off in enumerate(plan.offsets):
         xk = lax.slice_in_dim(x_ext, hw + off, hw + off + plan.L)

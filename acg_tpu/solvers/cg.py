@@ -353,10 +353,92 @@ def pipelined_cg_history_scan(spmv: Callable, b, x0, opt: CGOptions,
 
 
 # ---------------------------------------------------------------------------
+# Fully-fused pipelined CG (one Pallas pass per iteration)
+
+
+def pipelined_cg_loop_fused(op, b, x0, opt: CGOptions,
+                            reduce_fn: Callable = lambda v: v):
+    """Pipelined CG where each iteration is ONE fused Pallas pass
+    (ops/pallas_pipelined.py): SpMV + the 6-vector Gear/Chronopoulos
+    update + both dots, reading every vector exactly once.
+
+    ``op`` must be a DIA operator (vals/offsets/halo_width/extend).  Dot
+    accumulation is inherently "mixed" (per-block partials summed in f64);
+    scalar recurrences are f64.  diff-based stopping criteria are not
+    supported here (use the unfused loop).
+    """
+    from ..ops.pallas_dia import pallas_halo_width
+    from ..ops.pallas_pipelined import fused_pipelined_iter, pick_block_fused
+
+    if opt.needs_diff:
+        raise ValueError("diff-based stopping criteria are not supported by "
+                         "the fused pipelined solver")
+    dd = jnp.dtype(jnp.float64)
+    vdtype = b.dtype
+    hw = pallas_halo_width(op.halo_width)
+    offsets = tuple(int(o) for o in op.offsets)
+    block = pick_block_fused(op.Np, len(offsets), hw, b.dtype.itemsize)
+
+    bnrm2sqr = reduce_fn(nrm2sqr(b, "mixed"))
+    x0nrm2sqr = reduce_fn(nrm2sqr(x0, "mixed"))
+    r = b - op.spmv(x0)
+    w = op.spmv(r)
+    gd0 = reduce_fn(dot2(r, r, w, r, "mixed"))
+    gamma0, delta0 = gd0[0], gd0[1]
+    zeros = jnp.zeros_like(b)
+
+    def cond(state):
+        (x, r, w, z, t, p, gamma, delta, gprev, aprev, k, conv) = state
+        return (k < opt.max_iterations) & jnp.logical_not(conv)
+
+    zero = jnp.array(0.0, dd)
+
+    def step(state):
+        (x, r, w, z, t, p, gamma, delta, gprev, aprev, k, conv) = state
+        frozen = conv | (k >= opt.max_iterations)
+        beta = jnp.where(k == 0, zero, gamma / gprev)
+        alpha = jnp.where(frozen, zero,
+                          gamma / (delta - beta * gamma / aprev))
+        with jax.named_scope("acg.fused_iter"):
+            x2, r2, w2, z2, t2, p2, gd = fused_pipelined_iter(
+                op.vals, op.extend(w, hw), x, r, z, t, p, alpha, beta,
+                offsets, hw, block)
+        gd = reduce_fn(gd)
+        gamma_new = jnp.where(frozen, gamma, gd[0])
+        delta_new = jnp.where(frozen, delta, gd[1])
+        conv = conv | _converged(gamma_new, jnp.array(jnp.inf, dd),
+                                 bnrm2sqr, x0nrm2sqr, opt)
+        gprev_new = jnp.where(frozen, gprev, gamma)
+        aprev_new = jnp.where(frozen, aprev, alpha)
+        k = k + jnp.where(frozen, 0, 1).astype(jnp.int32)
+        return (x2, r2, w2, z2, t2, p2, gamma_new, delta_new,
+                gprev_new, aprev_new, k, conv)
+
+    if opt.check_every <= 1:
+        body = step
+    else:
+        def body(state):
+            return jax.lax.fori_loop(0, opt.check_every,
+                                     lambda i, s: step(s), state)
+
+    conv0 = _converged(gamma0, jnp.array(jnp.inf, dd), bnrm2sqr,
+                       x0nrm2sqr, opt)
+    state = (x0, r, w, zeros, zeros, zeros, gamma0, delta0,
+             jnp.array(1.0, dd), jnp.array(1.0, dd), jnp.int32(0), conv0)
+    out = jax.lax.while_loop(cond, body, state)
+    (x, r, w, z, t, p, gamma, delta, gprev, aprev, k, conv) = out
+    scalars = dict(niterations=k, converged=conv,
+                   bnrm2sqr=bnrm2sqr, r0nrm2sqr=gamma0, rnrm2sqr=gamma,
+                   x0nrm2sqr=x0nrm2sqr,
+                   dxnrm2sqr=jnp.array(jnp.inf, dd))
+    return x, scalars
+
+
+# ---------------------------------------------------------------------------
 # Single-device driver
 
 
-METHODS = ("cg", "pipelined")
+METHODS = ("cg", "pipelined", "pipelined-fused")
 
 
 @partial(jax.jit, static_argnames=("opt", "method", "history"))
@@ -366,6 +448,11 @@ def _run_single(op, bp, x0p, opt: CGOptions, method: str, history: bool):
     solves with the same configuration reuse the compiled program — the
     analogue of the reference's init/solve split (acgsolvercuda_init
     uploads once, cgcuda.c:143-332; solves reuse the device state)."""
+    if method == "pipelined-fused":
+        if history:
+            raise ValueError("pipelined-fused has no history variant; use "
+                             "method='pipelined' for residual histories")
+        return pipelined_cg_loop_fused(op, bp, x0p, opt)
     if history:
         fn = cg_history_scan if method == "cg" else pipelined_cg_history_scan
     else:

@@ -50,6 +50,7 @@ DIM = int(os.environ.get("ACG_BENCH_DIM", "2"))         # 2 or 3
 STENCIL = int(os.environ.get("ACG_BENCH_STENCIL", "0"))  # 0=default (5 / 7)
 BACKEND = os.environ.get("ACG_BENCH_BACKEND", "pallas")  # xla | pallas
 DOT = os.environ.get("ACG_BENCH_DOT", "mixed")           # float64|float32|mixed
+FUSED = os.environ.get("ACG_BENCH_FUSED", "0") == "1"    # one-pass iteration kernel
 
 
 def main() -> None:
@@ -59,7 +60,8 @@ def main() -> None:
     import acg_tpu  # noqa: F401
     from acg_tpu.core.dia import DiaOperator
     from acg_tpu.io.generators import poisson2d_dia, poisson3d_dia
-    from acg_tpu.solvers.cg import CGOptions, pipelined_cg_loop
+    from acg_tpu.solvers.cg import (CGOptions, pipelined_cg_loop,
+                                    pipelined_cg_loop_fused)
 
     if DIM == 2:
         offsets, vals = poisson2d_dia(N_GRID, dtype=np.dtype(DTYPE))
@@ -86,7 +88,10 @@ def main() -> None:
 
         @jax.jit
         def run(op_, b_, x0_):
-            x, scalars = pipelined_cg_loop(op_.spmv, b_, x0_, opt)
+            if FUSED:
+                x, scalars = pipelined_cg_loop_fused(op_, b_, x0_, opt)
+            else:
+                x, scalars = pipelined_cg_loop(op_.spmv, b_, x0_, opt)
             return x[0], scalars["rnrm2sqr"]
 
         return run

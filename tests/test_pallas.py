@@ -13,11 +13,9 @@ from acg_tpu.io.generators import dia_to_coo, poisson2d_dia, poisson3d_dia
 
 
 @pytest.fixture(autouse=True)
-def interpret_mode(monkeypatch):
-    orig = pl.pallas_call
-    monkeypatch.setattr(pl, "pallas_call",
-                        lambda *a, **k: orig(*a, interpret=True, **k))
-    # bust the jit cache so compiled (non-interpret) traces aren't reused
+def interpret_mode():
+    # the kernels auto-select interpret mode on the CPU backend; just bust
+    # the jit cache so traces from other fixtures aren't reused
     pallas_dia.dia_spmv_pallas._clear_cache()
     yield
     pallas_dia.dia_spmv_pallas._clear_cache()
