@@ -146,7 +146,10 @@ def fused_pipelined_iter(vals, w_ext, x, r, z, t, p, alpha, beta,
             blk(), blk(), blk(), blk(), blk(),               # x r z t p
         ],
         out_specs=(blk(), blk(), blk(), blk(), blk(), blk(),
-                   pl.BlockSpec(memory_space=pltpu.SMEM)),  # full (nblocks, 2)
+                   # full (nblocks, 2) partial-dots table; explicit int32
+                   # index map (default maps return Python ints → i64)
+                   pl.BlockSpec((nblocks, 2), lambda i: (z32, z32),
+                                memory_space=pltpu.SMEM)),
         out_shape=(vec(), vec(), vec(), vec(), vec(), vec(), parts_shape),
         scratch_shapes=[
             pltpu.VMEM((block + 2 * hw,), vdt),

@@ -357,15 +357,21 @@ def pipelined_cg_history_scan(spmv: Callable, b, x0, opt: CGOptions,
 
 
 def pipelined_cg_loop_fused(op, b, x0, opt: CGOptions,
-                            reduce_fn: Callable = lambda v: v):
+                            reduce_fn: Callable = lambda v: v,
+                            extend_fn: Callable | None = None,
+                            spmv: Callable | None = None,
+                            vals=None, offsets=None, hw: int | None = None):
     """Pipelined CG where each iteration is ONE fused Pallas pass
     (ops/pallas_pipelined.py): SpMV + the 6-vector Gear/Chronopoulos
     update + both dots, reading every vector exactly once.
 
-    ``op`` must be a DIA operator (vals/offsets/halo_width/extend).  Dot
-    accumulation is inherently "mixed" (per-block partials summed in f64);
-    scalar recurrences are f64.  diff-based stopping criteria are not
-    supported here (use the unfused loop).
+    Single-device: pass a DIA ``op`` (vals/offsets/halo_width/extend).
+    Distributed: pass ``op=None`` with explicit ``vals`` (local slabs),
+    ``offsets``, ``hw`` (pallas-aligned), ``extend_fn`` (halo exchange →
+    extended local vector), ``spmv`` (setup-path SpMV) and a psum
+    ``reduce_fn``.  Dot accumulation is inherently "mixed" (per-block
+    partials summed in f64); scalar recurrences are f64.  diff-based
+    stopping criteria are not supported (use the unfused loop).
     """
     from ..ops.pallas_dia import pallas_halo_width
     from ..ops.pallas_pipelined import fused_pipelined_iter, pick_block_fused
@@ -373,16 +379,22 @@ def pipelined_cg_loop_fused(op, b, x0, opt: CGOptions,
     if opt.needs_diff:
         raise ValueError("diff-based stopping criteria are not supported by "
                          "the fused pipelined solver")
+    if op is not None:
+        hw = pallas_halo_width(op.halo_width)
+        offsets = tuple(int(o) for o in op.offsets)
+        vals = op.vals
+        extend_fn = lambda v: op.extend(v, hw)
+        spmv = op.spmv
     dd = jnp.dtype(jnp.float64)
     vdtype = b.dtype
-    hw = pallas_halo_width(op.halo_width)
-    offsets = tuple(int(o) for o in op.offsets)
-    block = pick_block_fused(op.Np, len(offsets), hw, b.dtype.itemsize)
+    offsets = tuple(int(o) for o in offsets)
+    block = pick_block_fused(vals.shape[1], len(offsets), hw,
+                             b.dtype.itemsize)
 
     bnrm2sqr = reduce_fn(nrm2sqr(b, "mixed"))
     x0nrm2sqr = reduce_fn(nrm2sqr(x0, "mixed"))
-    r = b - op.spmv(x0)
-    w = op.spmv(r)
+    r = b - spmv(x0)
+    w = spmv(r)
     gd0 = reduce_fn(dot2(r, r, w, r, "mixed"))
     gamma0, delta0 = gd0[0], gd0[1]
     zeros = jnp.zeros_like(b)
@@ -401,7 +413,7 @@ def pipelined_cg_loop_fused(op, b, x0, opt: CGOptions,
                           gamma / (delta - beta * gamma / aprev))
         with jax.named_scope("acg.fused_iter"):
             x2, r2, w2, z2, t2, p2, gd = fused_pipelined_iter(
-                op.vals, op.extend(w, hw), x, r, z, t, p, alpha, beta,
+                vals, extend_fn(w), x, r, z, t, p, alpha, beta,
                 offsets, hw, block)
         gd = reduce_fn(gd)
         gamma_new = jnp.where(frozen, gamma, gd[0])

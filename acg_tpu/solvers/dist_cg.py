@@ -116,13 +116,34 @@ def solve_dist_stencil(offsets, vals: np.ndarray, b: np.ndarray,
     key = ("stencil", _mesh_key(mesh), plan, opt, method, history, backend)
     run = _RUN_CACHE.get(key)
     if run is None:
-        fn = _loop_fns(method, history)
+        if method == "pipelined-fused":
+            if history:
+                raise ValueError("pipelined-fused has no history variant")
+            from ..ops.pallas_dia import pallas_halo_width
+            from ..parallel.halo import stencil_halo
+            from .cg import pipelined_cg_loop_fused
+            hw_p = pallas_halo_width(plan.hw)
 
-        def local(vals_l, b_l, x0_l):
-            spmv = lambda xx: stencil_spmv_local(plan, vals_l, xx, AXIS,
-                                                 backend)
-            red = lambda v: lax.psum(v, AXIS)
-            return fn(spmv, b_l, x0_l, opt, red)
+            def local(vals_l, b_l, x0_l):
+                def extend_fn(v):
+                    left, right = stencil_halo(v, plan.hw, plan.nparts, AXIS)
+                    pad = jnp.zeros((hw_p - plan.hw,), v.dtype)
+                    return jnp.concatenate([pad, left, v, right, pad])
+
+                spmv = lambda xx: stencil_spmv_local(plan, vals_l, xx, AXIS,
+                                                     "pallas")
+                red = lambda v: lax.psum(v, AXIS)
+                return pipelined_cg_loop_fused(
+                    None, b_l, x0_l, opt, red, extend_fn=extend_fn,
+                    spmv=spmv, vals=vals_l, offsets=plan.offsets, hw=hw_p)
+        else:
+            fn = _loop_fns(method, history)
+
+            def local(vals_l, b_l, x0_l):
+                spmv = lambda xx: stencil_spmv_local(plan, vals_l, xx, AXIS,
+                                                     backend)
+                red = lambda v: lax.psum(v, AXIS)
+                return fn(spmv, b_l, x0_l, opt, red)
 
         scalar_spec = dict(niterations=P(), converged=P(), bnrm2sqr=P(),
                            r0nrm2sqr=P(), rnrm2sqr=P(), x0nrm2sqr=P(),

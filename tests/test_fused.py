@@ -83,3 +83,28 @@ def test_fused_rejects_diff_criteria(rng):
     with pytest.raises(ValueError):
         solve(op, b, opt=CGOptions(max_iterations=5, diff_atol=1e-3),
               method="pipelined-fused")
+
+
+def test_fused_distributed_stencil(rng):
+    """Fused iteration under shard_map with ring-halo extension on the
+    8-device mesh matches the unfused distributed pipelined solve."""
+    from acg_tpu.solvers.dist_cg import solve_dist_stencil
+
+    offsets, vals = poisson2d_dia(16)
+    rowidx, colidx, a, N = dia_to_coo(offsets, vals)
+    A = sp.coo_matrix((a, (rowidx, colidx)), shape=(N, N)).tocsr()
+    xstar = rng.standard_normal(N)
+    xstar /= np.linalg.norm(xstar)
+    b = A @ xstar
+    opt = CGOptions(max_iterations=1000, residual_rtol=1e-5, check_every=4)
+    xf, inf = solve_dist_stencil(offsets, vals, b, nparts=8, opt=opt,
+                                 method="pipelined-fused", pad_to=128,
+                                 dtype=np.float32)
+    assert inf.converged
+    assert np.linalg.norm(xf - xstar) / np.linalg.norm(xstar) < 1e-3
+    o2 = CGOptions(max_iterations=1000, residual_rtol=1e-5,
+                   dot_dtype="mixed")
+    xu, inu = solve_dist_stencil(offsets, vals, b, nparts=8, opt=o2,
+                                 method="pipelined", pad_to=128,
+                                 dtype=np.float32)
+    assert abs(inf.niterations - inu.niterations) <= 3
