@@ -175,7 +175,7 @@ def pick_block_fused(Np: int, K: int, hw: int, itemsize: int,
     (22·B), two w windows (2·(B+2hw))."""
     if Np <= 128:
         return Np
-    b = 16384
+    b = 32768
     while b > Np:
         b //= 2
     while b > 128:
