@@ -145,6 +145,8 @@ def main(argv=None) -> int:
             return 1
 
     import acg_tpu  # noqa: F401 (x64)
+    from ..parallel.multihost import init_multihost
+    init_multihost()   # no-op unless ACG_COORDINATOR/... env vars are set
     from ..core.csr import SymCSRMatrix
     from ..core.dia import DiaOperator
     from ..core.ell import EllOperator

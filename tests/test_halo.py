@@ -135,3 +135,12 @@ def test_comm_allreduce_under_shard_map():
     out = jax.jit(shard_map(f, mesh=mesh, in_specs=(P(AXIS),),
                             out_specs=P(AXIS)))(x)
     np.testing.assert_array_equal(np.asarray(out).ravel(), np.full(8, 28.0))
+
+
+def test_multihost_helper_noop_and_info():
+    """Without coordinator env vars init_multihost is a no-op; process
+    info reports single-process."""
+    from acg_tpu.parallel.multihost import init_multihost, process_info
+    assert init_multihost() is False
+    pid, n = process_info()
+    assert (pid, n) == (0, 1)
