@@ -30,6 +30,7 @@ SOLVERS = ("acg", "acg-pipelined", "acg-host", "acg-host-pipelined",
            # the compiled while_loop IS the device-initiated variant, so
            # these are aliases of acg / acg-pipelined (DESIGN.md)
            "acg-fused",   # one-pass pipelined iteration kernel (DIA, 1 chip)
+           "acg-df64",    # double-f32 fused kernel: f64-quality at VPU speed
            "scipy", "petsc", "jax-ref")
 
 
@@ -236,17 +237,23 @@ def main(argv=None) -> int:
         if args.solver == "jax-ref":
             op = _make_op()
             return solve_jax_ref(op, b, x0, opt)
-        if args.solver == "acg-fused":
+        if args.solver in ("acg-fused", "acg-df64"):
             if nparts > 1:
-                print("error: --solver acg-fused is single-device "
+                print(f"error: --solver {args.solver} is single-device "
                       "(use acg-pipelined with --nparts)", file=sys.stderr)
                 raise SystemExit(1)
             op = _make_op()
             if not hasattr(op, "offsets"):
-                print("error: --solver acg-fused requires the DIA format",
-                      file=sys.stderr)
+                print(f"error: --solver {args.solver} requires the DIA "
+                      "format", file=sys.stderr)
                 raise SystemExit(1)
-            return solve(op, b, x0, opt, "pipelined-fused")
+            if args.solver == "acg-df64" and args.dtype != "float64":
+                print("error: --solver acg-df64 consumes a float64 operator "
+                      "(drop --dtype float32)", file=sys.stderr)
+                raise SystemExit(1)
+            method = ("pipelined-fused" if args.solver == "acg-fused"
+                      else "pipelined-df64")
+            return solve(op, b, x0, opt, method)
         method = "pipelined" if "pipelined" in args.solver else "cg"
         if nparts > 1:
             if dia is not None and args.partition is None \

@@ -446,11 +446,119 @@ def pipelined_cg_loop_fused(op, b, x0, opt: CGOptions,
     return x, scalars
 
 
+def pipelined_cg_loop_df64(op, b, x0, opt: CGOptions,
+                           reduce_fn: Callable = lambda v: v):
+    """Pipelined CG in df64 (double-f32) precision — the f64-parity fast
+    path on TPU (no native f64 ALUs; see ops/df64.py and
+    ops/pallas_df64.py).  ~2^-48 relative accuracy end-to-end; each
+    iteration is one fused Pallas pass over (hi, lo) f32 pairs.
+
+    ``op`` is a float64 DIA operator; ``b``/``x0`` are float64 (Np,)
+    device arrays.  Returns (x float64, scalars) like the other loops.
+    """
+    from ..ops.pallas_dia import pallas_halo_width
+    from ..ops.pallas_df64 import fused_df64_iter, pick_block_df
+
+    if opt.needs_diff:
+        raise ValueError("diff-based stopping criteria are not supported by "
+                         "the df64 solver")
+    dd = jnp.dtype(jnp.float64)
+    f32 = jnp.float32
+    hw = pallas_halo_width(op.halo_width)
+    offsets = tuple(int(o) for o in op.offsets)
+    Np = op.Np
+    block = pick_block_df(Np, len(offsets), hw)
+
+    def split(v):
+        hi = v.astype(f32)
+        return hi, (v - hi.astype(dd)).astype(f32)
+
+    vals_h, vals_l = split(op.vals)
+
+    def split_scalar_pair(alpha, beta):
+        ah = alpha.astype(f32)
+        al = (alpha - ah.astype(dd)).astype(f32)
+        bh = beta.astype(f32)
+        bl = (beta - bh.astype(dd)).astype(f32)
+        return jnp.stack([ah, al, bh, bl]).reshape(1, 4)
+
+    # setup in plain f64 XLA (once; slow but exact)
+    bnrm2sqr = reduce_fn(nrm2sqr(b, dd))
+    x0nrm2sqr = reduce_fn(nrm2sqr(x0, dd))
+    r = b - op.spmv(x0)
+    w = op.spmv(r)
+    gd0 = reduce_fn(dot2(r, r, w, r, dd))
+    gamma0, delta0 = gd0[0], gd0[1]
+    zh = zl = jnp.zeros((Np,), f32)
+
+    xh, xl = split(x0)
+    rh, rl = split(r)
+    wh, wl = split(w)
+    th, tl = zh, zl
+    ph, pl_ = zh, zl
+
+    def ext(vh):
+        z = jnp.zeros((hw,), f32)
+        return jnp.concatenate([z, vh, z])
+
+    def cond(state):
+        return (state[-2] < opt.max_iterations) & jnp.logical_not(state[-1])
+
+    zero = jnp.array(0.0, dd)
+
+    def step(state):
+        (xh, xl, rh, rl, wh, wl, zh, zl, th, tl, ph, pl_,
+         gamma, delta, gprev, aprev, k, conv) = state
+        frozen = conv | (k >= opt.max_iterations)
+        beta = jnp.where(k == 0, zero, gamma / gprev)
+        alpha = jnp.where(frozen, zero,
+                          gamma / (delta - beta * gamma / aprev))
+        sc = split_scalar_pair(alpha, beta)
+        with jax.named_scope("acg.df64_iter"):
+            (xh2, xl2, rh2, rl2, wh2, wl2, zh2, zl2, th2, tl2, ph2, pl2,
+             gd) = fused_df64_iter(
+                vals_h, vals_l, ext(wh), ext(wl),
+                xh, xl, rh, rl, zh, zl, th, tl, ph, pl_,
+                sc, offsets, hw, block)
+        gd = reduce_fn(gd)
+        gamma_new = jnp.where(frozen, gamma, gd[0])
+        delta_new = jnp.where(frozen, delta, gd[1])
+        conv = conv | _converged(gamma_new, jnp.array(jnp.inf, dd),
+                                 bnrm2sqr, x0nrm2sqr, opt)
+        gprev_new = jnp.where(frozen, gprev, gamma)
+        aprev_new = jnp.where(frozen, aprev, alpha)
+        k = k + jnp.where(frozen, 0, 1).astype(jnp.int32)
+        return (xh2, xl2, rh2, rl2, wh2, wl2, zh2, zl2, th2, tl2, ph2, pl2,
+                gamma_new, delta_new, gprev_new, aprev_new, k, conv)
+
+    if opt.check_every <= 1:
+        body = step
+    else:
+        def body(state):
+            return jax.lax.fori_loop(0, opt.check_every,
+                                     lambda i, s: step(s), state)
+
+    conv0 = _converged(gamma0, jnp.array(jnp.inf, dd), bnrm2sqr,
+                       x0nrm2sqr, opt)
+    state = (xh, xl, rh, rl, wh, wl, zh, zl, th, tl, ph, pl_,
+             gamma0, delta0, jnp.array(1.0, dd), jnp.array(1.0, dd),
+             jnp.int32(0), conv0)
+    out = jax.lax.while_loop(cond, body, state)
+    xh, xl = out[0], out[1]
+    gamma, k, conv = out[12], out[16], out[17]
+    x = xh.astype(dd) + xl.astype(dd)
+    scalars = dict(niterations=k, converged=conv,
+                   bnrm2sqr=bnrm2sqr, r0nrm2sqr=gamma0, rnrm2sqr=gamma,
+                   x0nrm2sqr=x0nrm2sqr,
+                   dxnrm2sqr=jnp.array(jnp.inf, dd))
+    return x, scalars
+
+
 # ---------------------------------------------------------------------------
 # Single-device driver
 
 
-METHODS = ("cg", "pipelined", "pipelined-fused")
+METHODS = ("cg", "pipelined", "pipelined-fused", "pipelined-df64")
 
 
 @partial(jax.jit, static_argnames=("opt", "method", "history"))
@@ -465,6 +573,11 @@ def _run_single(op, bp, x0p, opt: CGOptions, method: str, history: bool):
             raise ValueError("pipelined-fused has no history variant; use "
                              "method='pipelined' for residual histories")
         return pipelined_cg_loop_fused(op, bp, x0p, opt)
+    if method == "pipelined-df64":
+        if history:
+            raise ValueError("pipelined-df64 has no history variant; use "
+                             "method='pipelined' for residual histories")
+        return pipelined_cg_loop_df64(op, bp, x0p, opt)
     if history:
         fn = cg_history_scan if method == "cg" else pipelined_cg_history_scan
     else:

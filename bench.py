@@ -51,6 +51,9 @@ STENCIL = int(os.environ.get("ACG_BENCH_STENCIL", "0"))  # 0=default (5 / 7)
 BACKEND = os.environ.get("ACG_BENCH_BACKEND", "pallas")  # xla | pallas
 DOT = os.environ.get("ACG_BENCH_DOT", "mixed")           # float64|float32|mixed
 FUSED = os.environ.get("ACG_BENCH_FUSED", "0") == "1"    # one-pass iteration kernel
+DF64 = os.environ.get("ACG_BENCH_DF64", "0") == "1"      # double-f32 (f64-parity) path
+if DF64:
+    DTYPE = "float64"   # the df64 path consumes an f64 operator/vectors
 
 
 def main() -> None:
@@ -61,6 +64,7 @@ def main() -> None:
     from acg_tpu.core.dia import DiaOperator
     from acg_tpu.io.generators import poisson2d_dia, poisson3d_dia
     from acg_tpu.solvers.cg import (CGOptions, pipelined_cg_loop,
+                                    pipelined_cg_loop_df64,
                                     pipelined_cg_loop_fused)
 
     if DIM == 2:
@@ -88,7 +92,9 @@ def main() -> None:
 
         @jax.jit
         def run(op_, b_, x0_):
-            if FUSED:
+            if DF64:
+                x, scalars = pipelined_cg_loop_df64(op_, b_, x0_, opt)
+            elif FUSED:
                 x, scalars = pipelined_cg_loop_fused(op_, b_, x0_, opt)
             else:
                 x, scalars = pipelined_cg_loop(op_.spmv, b_, x0_, opt)
