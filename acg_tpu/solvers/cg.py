@@ -447,14 +447,22 @@ def pipelined_cg_loop_fused(op, b, x0, opt: CGOptions,
 
 
 def pipelined_cg_loop_df64(op, b, x0, opt: CGOptions,
-                           reduce_fn: Callable = lambda v: v):
+                           reduce_fn: Callable = lambda v: v,
+                           spmv: Callable | None = None,
+                           vals=None, offsets=None, hw: int | None = None,
+                           ext2: Callable | None = None):
     """Pipelined CG in df64 (double-f32) precision — the f64-parity fast
     path on TPU (no native f64 ALUs; see ops/df64.py and
     ops/pallas_df64.py).  ~2^-48 relative accuracy end-to-end; each
     iteration is one fused Pallas pass over (hi, lo) f32 pairs.
 
-    ``op`` is a float64 DIA operator; ``b``/``x0`` are float64 (Np,)
-    device arrays.  Returns (x float64, scalars) like the other loops.
+    Single-device: ``op`` is a float64 DIA operator; ``b``/``x0`` are
+    float64 (Np,) device arrays.  Distributed: pass ``op=None`` with
+    explicit float64 ``vals`` (local slabs), ``offsets``, pallas-aligned
+    ``hw``, ``ext2(wh, wl) -> (wh_ext, wl_ext)`` (halo exchange applied to
+    both components of the pair — exact, since the pair is just two f32
+    arrays), a setup-path ``spmv`` and a psum ``reduce_fn``.  Returns
+    (x float64, scalars) like the other loops.
     """
     from ..ops.pallas_dia import pallas_halo_width
     from ..ops.pallas_df64 import fused_df64_iter, pick_block_df
@@ -464,16 +472,25 @@ def pipelined_cg_loop_df64(op, b, x0, opt: CGOptions,
                          "the df64 solver")
     dd = jnp.dtype(jnp.float64)
     f32 = jnp.float32
-    hw = pallas_halo_width(op.halo_width)
-    offsets = tuple(int(o) for o in op.offsets)
-    Np = op.Np
+    if op is not None:
+        hw = pallas_halo_width(op.halo_width)
+        offsets = tuple(int(o) for o in op.offsets)
+        vals = op.vals
+        spmv = op.spmv
+
+        def ext2(wh, wl):
+            z = jnp.zeros((hw,), f32)
+            return (jnp.concatenate([z, wh, z]),
+                    jnp.concatenate([z, wl, z]))
+    offsets = tuple(int(o) for o in offsets)
+    Np = vals.shape[1]
     block = pick_block_df(Np, len(offsets), hw)
 
     def split(v):
         hi = v.astype(f32)
         return hi, (v - hi.astype(dd)).astype(f32)
 
-    vals_h, vals_l = split(op.vals)
+    vals_h, vals_l = split(vals)
 
     def split_scalar_pair(alpha, beta):
         ah = alpha.astype(f32)
@@ -485,8 +502,8 @@ def pipelined_cg_loop_df64(op, b, x0, opt: CGOptions,
     # setup in plain f64 XLA (once; slow but exact)
     bnrm2sqr = reduce_fn(nrm2sqr(b, dd))
     x0nrm2sqr = reduce_fn(nrm2sqr(x0, dd))
-    r = b - op.spmv(x0)
-    w = op.spmv(r)
+    r = b - spmv(x0)
+    w = spmv(r)
     gd0 = reduce_fn(dot2(r, r, w, r, dd))
     gamma0, delta0 = gd0[0], gd0[1]
     zh = zl = jnp.zeros((Np,), f32)
@@ -496,10 +513,6 @@ def pipelined_cg_loop_df64(op, b, x0, opt: CGOptions,
     wh, wl = split(w)
     th, tl = zh, zl
     ph, pl_ = zh, zl
-
-    def ext(vh):
-        z = jnp.zeros((hw,), f32)
-        return jnp.concatenate([z, vh, z])
 
     def cond(state):
         return (state[-2] < opt.max_iterations) & jnp.logical_not(state[-1])
@@ -515,9 +528,10 @@ def pipelined_cg_loop_df64(op, b, x0, opt: CGOptions,
                           gamma / (delta - beta * gamma / aprev))
         sc = split_scalar_pair(alpha, beta)
         with jax.named_scope("acg.df64_iter"):
+            wh_ext, wl_ext = ext2(wh, wl)
             (xh2, xl2, rh2, rl2, wh2, wl2, zh2, zl2, th2, tl2, ph2, pl2,
              gd) = fused_df64_iter(
-                vals_h, vals_l, ext(wh), ext(wl),
+                vals_h, vals_l, wh_ext, wl_ext,
                 xh, xl, rh, rl, zh, zl, th, tl, ph, pl_,
                 sc, offsets, hw, block)
         gd = reduce_fn(gd)

@@ -116,12 +116,12 @@ def solve_dist_stencil(offsets, vals: np.ndarray, b: np.ndarray,
     key = ("stencil", _mesh_key(mesh), plan, opt, method, history, backend)
     run = _RUN_CACHE.get(key)
     if run is None:
-        if method == "pipelined-fused":
+        if method in ("pipelined-fused", "pipelined-df64"):
             if history:
-                raise ValueError("pipelined-fused has no history variant")
+                raise ValueError(f"{method} has no history variant")
             from ..ops.pallas_dia import pallas_halo_width
             from ..parallel.halo import stencil_halo
-            from .cg import pipelined_cg_loop_fused
+            from .cg import pipelined_cg_loop_df64, pipelined_cg_loop_fused
             hw_p = pallas_halo_width(plan.hw)
 
             def local(vals_l, b_l, x0_l):
@@ -130,9 +130,16 @@ def solve_dist_stencil(offsets, vals: np.ndarray, b: np.ndarray,
                     pad = jnp.zeros((hw_p - plan.hw,), v.dtype)
                     return jnp.concatenate([pad, left, v, right, pad])
 
+                red = lambda v: lax.psum(v, AXIS)
+                if method == "pipelined-df64":
+                    spmv = lambda xx: stencil_spmv_local(plan, vals_l, xx,
+                                                         AXIS, "xla")
+                    return pipelined_cg_loop_df64(
+                        None, b_l, x0_l, opt, red, spmv=spmv, vals=vals_l,
+                        offsets=plan.offsets, hw=hw_p,
+                        ext2=lambda wh, wl: (extend_fn(wh), extend_fn(wl)))
                 spmv = lambda xx: stencil_spmv_local(plan, vals_l, xx, AXIS,
                                                      "pallas")
-                red = lambda v: lax.psum(v, AXIS)
                 return pipelined_cg_loop_fused(
                     None, b_l, x0_l, opt, red, extend_fn=extend_fn,
                     spmv=spmv, vals=vals_l, offsets=plan.offsets, hw=hw_p)

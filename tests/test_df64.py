@@ -115,3 +115,23 @@ def test_df64_solver_converges(rng):
     x, info = solve(op, b, opt=opt, method="pipelined-df64")
     assert info.converged
     assert np.linalg.norm(x - xstar) / np.linalg.norm(xstar) < 1e-3
+
+
+def test_df64_distributed_stencil(rng):
+    """df64 fused iteration under shard_map with ring halo on the pairs."""
+    import scipy.sparse as sp
+    from acg_tpu.io.generators import dia_to_coo, poisson2d_dia
+    from acg_tpu.solvers.cg import CGOptions
+    from acg_tpu.solvers.dist_cg import solve_dist_stencil
+
+    offsets, vals = poisson2d_dia(16)
+    rowidx, colidx, a, N = dia_to_coo(offsets, vals)
+    A = sp.coo_matrix((a, (rowidx, colidx)), shape=(N, N)).tocsr()
+    xstar = rng.standard_normal(N)
+    xstar /= np.linalg.norm(xstar)
+    b = A @ xstar
+    opt = CGOptions(max_iterations=1000, residual_rtol=1e-5, check_every=4)
+    x, info = solve_dist_stencil(offsets, vals, b, nparts=8, opt=opt,
+                                 method="pipelined-df64", pad_to=128)
+    assert info.converged
+    assert np.linalg.norm(x - xstar) / np.linalg.norm(xstar) < 1e-3
