@@ -44,7 +44,7 @@ def _dot_partials(ph_sum, pe_sum, B):
     return hi, lo
 
 
-def _kernel(offsets, hw, B, wh_hbm, wl_hbm,
+def _kernel(offsets, hw, B, vals_exact, wh_hbm, wl_hbm,
             sc_ref, vh_ref, vl_ref,
             xh_ref, xl_ref, rh_ref, rl_ref, zh_ref, zl_ref,
             th_ref, tl_ref, ph_ref, pl_ref,
@@ -85,9 +85,17 @@ def _kernel(offsets, hw, B, wh_hbm, wl_hbm,
         with df64.no_barriers():
             qh = ql = None
             for k, off in enumerate(offsets):
-                mh, ml = df64.df_mul(vh_ref[k, :], vl_ref[k, :],
-                                     wh_win[pl.ds(hw + off, B)],
-                                     wl_win[pl.ds(hw + off, B)])
+                if vals_exact:
+                    # matrix entries exactly representable in f32
+                    # (vals_lo ≡ 0, e.g. Poisson ±1/4/6/26): one-sided
+                    # df×f32 product, ~half the EFT flops
+                    mh, ml = df64.df_mul_f32(wh_win[pl.ds(hw + off, B)],
+                                             wl_win[pl.ds(hw + off, B)],
+                                             vh_ref[k, :])
+                else:
+                    mh, ml = df64.df_mul(vh_ref[k, :], vl_ref[k, :],
+                                         wh_win[pl.ds(hw + off, B)],
+                                         wl_win[pl.ds(hw + off, B)])
                 if qh is None:
                     qh, ql = mh, ml
                 else:
@@ -135,20 +143,24 @@ def _kernel(offsets, hw, B, wh_hbm, wl_hbm,
         compute(winh1, winl1)
 
 
-@functools.partial(jax.jit, static_argnames=("offsets", "hw", "block"))
+@functools.partial(jax.jit, static_argnames=("offsets", "hw", "block",
+                                             "vals_exact"))
 def fused_df64_iter(vals_h, vals_l, wh_ext, wl_ext,
                     xh, xl, rh, rl, zh, zl, th, tl, ph, pl_,
-                    scalars, offsets: tuple[int, ...], hw: int, block: int):
+                    scalars, offsets: tuple[int, ...], hw: int, block: int,
+                    vals_exact: bool = False):
     """One df64 fused pipelined-CG iteration.
 
     ``scalars`` is a (1, 4) f32 array [[alpha_hi, alpha_lo, beta_hi,
-    beta_lo]].  Returns 12 updated (hi, lo) vectors plus gd, a float64
-    (2,) vector of (γ', δ') from the per-block partial pairs.
+    beta_lo]].  ``vals_exact`` (static): the matrix entries are exactly
+    f32-representable, enabling the cheaper one-sided SpMV products.
+    Returns 12 updated (hi, lo) vectors plus gd, a float64 (2,) vector of
+    (γ', δ') from the per-block partial pairs.
     """
     K, Np = vals_h.shape
     assert Np % block == 0
     nblocks = Np // block
-    kernel = functools.partial(_kernel, offsets, hw, block)
+    kernel = functools.partial(_kernel, offsets, hw, block, vals_exact)
     f32 = jnp.float32
     z32 = np.int32(0)
     blk = lambda: pl.BlockSpec((block,), lambda i: (i,),

@@ -450,7 +450,8 @@ def pipelined_cg_loop_df64(op, b, x0, opt: CGOptions,
                            reduce_fn: Callable = lambda v: v,
                            spmv: Callable | None = None,
                            vals=None, offsets=None, hw: int | None = None,
-                           ext2: Callable | None = None):
+                           ext2: Callable | None = None,
+                           vals_exact: bool = False):
     """Pipelined CG in df64 (double-f32) precision — the f64-parity fast
     path on TPU (no native f64 ALUs; see ops/df64.py and
     ops/pallas_df64.py).  ~2^-48 relative accuracy end-to-end; each
@@ -533,7 +534,7 @@ def pipelined_cg_loop_df64(op, b, x0, opt: CGOptions,
              gd) = fused_df64_iter(
                 vals_h, vals_l, wh_ext, wl_ext,
                 xh, xl, rh, rl, zh, zl, th, tl, ph, pl_,
-                sc, offsets, hw, block)
+                sc, offsets, hw, block, vals_exact)
         gd = reduce_fn(gd)
         gamma_new = jnp.where(frozen, gamma, gd[0])
         delta_new = jnp.where(frozen, delta, gd[1])
@@ -575,8 +576,9 @@ def pipelined_cg_loop_df64(op, b, x0, opt: CGOptions,
 METHODS = ("cg", "pipelined", "pipelined-fused", "pipelined-df64")
 
 
-@partial(jax.jit, static_argnames=("opt", "method", "history"))
-def _run_single(op, bp, x0p, opt: CGOptions, method: str, history: bool):
+@partial(jax.jit, static_argnames=("opt", "method", "history", "vals_exact"))
+def _run_single(op, bp, x0p, opt: CGOptions, method: str, history: bool,
+                vals_exact: bool = False):
     """Compiled solve program.  Keyed by the static (opt, method, history)
     triple and the operator's static aux (offsets/N/backend), so repeated
     solves with the same configuration reuse the compiled program — the
@@ -591,7 +593,8 @@ def _run_single(op, bp, x0p, opt: CGOptions, method: str, history: bool):
         if history:
             raise ValueError("pipelined-df64 has no history variant; use "
                              "method='pipelined' for residual histories")
-        return pipelined_cg_loop_df64(op, bp, x0p, opt)
+        return pipelined_cg_loop_df64(op, bp, x0p, opt,
+                                      vals_exact=vals_exact)
     if history:
         fn = cg_history_scan if method == "cg" else pipelined_cg_history_scan
     else:
@@ -617,11 +620,20 @@ def solve(op, b: np.ndarray, x0: np.ndarray | None = None,
     else:
         x0p = jnp.zeros((Np,), vdtype).at[:N].set(jnp.asarray(x0, vdtype))
 
+    vals_exact = False
+    if method == "pipelined-df64":
+        # static property used to specialize the kernel (host-side check,
+        # once per operator): matrix entries exactly f32-representable?
+        v = np.asarray(op.vals)
+        vals_exact = bool(np.all(v == v.astype(np.float32).astype(v.dtype)))
+
     if history:
-        x, scalars, hist = _run_single(op, bp, x0p, opt, method, True)
+        x, scalars, hist = _run_single(op, bp, x0p, opt, method, True,
+                                       vals_exact)
         hist = np.asarray(hist)
     else:
-        x, scalars = _run_single(op, bp, x0p, opt, method, False)
+        x, scalars = _run_single(op, bp, x0p, opt, method, False,
+                                 vals_exact)
         hist = None
 
     scalars = jax.device_get(scalars)

@@ -54,6 +54,7 @@ FUSED = os.environ.get("ACG_BENCH_FUSED", "0") == "1"    # one-pass iteration ke
 DF64 = os.environ.get("ACG_BENCH_DF64", "0") == "1"      # double-f32 (f64-parity) path
 if DF64:
     DTYPE = "float64"   # the df64 path consumes an f64 operator/vectors
+    BACKEND = "xla"     # setup-path SpMV (b = A x*) runs in plain f64 XLA
 
 
 def main() -> None:

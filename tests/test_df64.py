@@ -135,3 +135,31 @@ def test_df64_distributed_stencil(rng):
                                  method="pipelined-df64", pad_to=128)
     assert info.converged
     assert np.linalg.norm(x - xstar) / np.linalg.norm(xstar) < 1e-3
+
+
+def test_df64_vals_exact_specialization(rng):
+    """Poisson entries are exactly f32-representable; the specialized
+    one-sided SpMV must converge identically.  A scaled (inexact) matrix
+    must take the general path and still converge."""
+    import scipy.sparse as sp
+    from acg_tpu.core.dia import DiaOperator
+    from acg_tpu.io.generators import dia_to_coo, poisson2d_dia
+    from acg_tpu.solvers.cg import CGOptions, solve
+
+    offsets, vals = poisson2d_dia(10)
+    rowidx, colidx, a, N = dia_to_coo(offsets, vals)
+    A = sp.coo_matrix((a, (rowidx, colidx)), shape=(N, N)).tocsr()
+    xstar = rng.standard_normal(N)
+    xstar /= np.linalg.norm(xstar)
+    opt = CGOptions(max_iterations=1000, residual_rtol=1e-5)
+
+    op_exact = DiaOperator.from_arrays(offsets, vals, pad_to=128)
+    x1, i1 = solve(op_exact, A @ xstar, opt=opt, method="pipelined-df64")
+    assert i1.converged
+
+    scale = 1.0 / 3.0  # makes entries inexact in f32
+    op_inexact = DiaOperator.from_arrays(offsets, vals * scale, pad_to=128)
+    x2, i2 = solve(op_inexact, (A * scale) @ xstar, opt=opt,
+                   method="pipelined-df64")
+    assert i2.converged
+    assert np.linalg.norm(x2 - xstar) / np.linalg.norm(xstar) < 1e-3
