@@ -159,3 +159,56 @@ def test_version(capsys):
     with pytest.raises(SystemExit) as e:
         cli_main.main(["--version"])
     assert e.value.code == 0
+
+
+# ---------------------------------------------------------------------------
+# Newer flags: solver aliases / kernels, precision modes, tracing
+
+
+@pytest.mark.parametrize("solver", ["acg-device", "acg-device-pipelined",
+                                    "acg-fused", "acg-df64"])
+def test_solver_kernel_variants(matrix_file, tmp_path, solver):
+    out = tmp_path / "x.mtx"
+    args = [str(matrix_file), "--manufactured-solution", "--solver", solver,
+            "--max-iterations", "1000", "--residual-rtol", "1e-5",
+            "--warmup", "0", "-o", str(out)]
+    if solver == "acg-fused":
+        args += ["--dtype", "float32"]
+    rc = cli_main.main(args)
+    assert rc == 0
+    assert read_mtx(out).to_dense_vector().shape == (144,)
+
+
+def test_dtype_and_dot_dtype_modes(matrix_file, tmp_path):
+    out = tmp_path / "x.mtx"
+    rc = cli_main.main([str(matrix_file), "--manufactured-solution",
+                        "--solver", "acg-pipelined", "--dtype", "float32",
+                        "--dot-dtype", "mixed", "--check-every", "5",
+                        "--max-iterations", "1000", "--residual-rtol", "1e-5",
+                        "--warmup", "0", "-o", str(out)])
+    assert rc == 0
+
+
+def test_fused_guards(matrix_file):
+    with pytest.raises(SystemExit):
+        cli_main.main([str(matrix_file), "--solver", "acg-df64",
+                       "--dtype", "float32", "-q"])
+
+
+def test_trace_flag_writes_profile(matrix_file, tmp_path):
+    tdir = tmp_path / "trace"
+    rc = cli_main.main([str(matrix_file), "--manufactured-solution",
+                        "--max-iterations", "20", "--warmup", "0",
+                        "--trace", str(tdir), "-q"])
+    assert rc in (0, 2)
+    prof = list(tdir.glob("plugins/profile/*/*"))
+    assert prof, "no profile artifacts written"
+
+
+def test_reorder_nd(matrix_file, tmp_path):
+    out = tmp_path / "x.mtx"
+    rc = cli_main.main([str(matrix_file), "--manufactured-solution",
+                        "--reorder", "nd", "--format", "ell",
+                        "--max-iterations", "800", "--residual-rtol", "1e-6",
+                        "--warmup", "0", "-o", str(out)])
+    assert rc == 0
