@@ -276,6 +276,8 @@ def main(argv=None) -> int:
                                           method=args.partition_method,
                                           seed=args.seed)
                 pm = build_partitioned_matrix(A.to_scipy_full(args.epsilon), part)
+            if args.verbose >= 2:
+                print(pm.describe(), file=sys.stderr)
             if args.output_comm_matrix:
                 _print_comm_matrix(pm.comm_matrix)
             _halo_info["bytes"] = (int(pm.comm_matrix.sum())

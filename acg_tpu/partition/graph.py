@@ -74,6 +74,23 @@ class PartitionedMatrix:
     def nnz_local_max(self) -> int:
         return self.own_vals.shape[1] * self.L + self.ghost_vals.shape[1] * self.L
 
+    def describe(self) -> str:
+        """Human-readable partition/halo summary (the acggraph_fwrite /
+        acghalo_fwrite debug printers, graph.c:404 / halo.c:356)."""
+        lines = [f"partitioned matrix: N={self.N} parts={self.P} "
+                 f"L={self.L} G={self.G} S={self.S} M={self.M}"]
+        for p in range(self.P):
+            neigh = np.where(self.comm_matrix[:, p] > 0)[0]
+            lines.append(
+                f"  part {p}: owned={self.n_owned[p]} "
+                f"(interior={self.n_interior[p]}, border={self.n_border[p]}) "
+                f"ghosts={self.n_ghost[p]} sends={self.n_send[p]} "
+                f"neighbours={neigh.tolist()}")
+        total = int(self.comm_matrix.sum())
+        lines.append(f"  halo volume: {total} words/exchange "
+                     f"({total * 8} B at f64)")
+        return "\n".join(lines)
+
 
 def build_partitioned_matrix(A_full: sp.csr_matrix, part: np.ndarray,
                              pad_to: int = 8) -> PartitionedMatrix:

@@ -157,3 +157,13 @@ def test_dist_general_matches_single_device_history(rng):
     _, i1 = solve(op, b, opt=opt, method="cg", history=True)
     _, ig = solve_dist_general(pm, b, opt=opt, method="cg", history=True)
     np.testing.assert_allclose(i1.residual_history, ig.residual_history, rtol=1e-8)
+
+
+def test_partitioned_matrix_describe(rng):
+    offsets, vals, A, _, _ = poisson_system(8, rng)
+    part = partition_bfs_recursive(A.indptr, A.indices, 4, seed=1)
+    pm = build_partitioned_matrix(A, part, pad_to=8)
+    d = pm.describe()
+    assert f"parts={pm.P}" in d
+    assert "halo volume" in d
+    assert d.count("part ") == pm.P
