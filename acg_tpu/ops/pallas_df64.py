@@ -99,6 +99,11 @@ def _kernel(offsets, hw, B, vals_exact, wh_hbm, wl_hbm,
                 if qh is None:
                     qh, ql = mh, ml
                 else:
+                    # NOTE: a compensated (non-normalized) accumulation —
+                    # two_sum on hi, plain adds on lo — has fewer flops
+                    # but measured SLOWER on v5e (1753 vs 1505 µs/iter;
+                    # the longer dependent chain on qh stalls the VPU),
+                    # so the full df_add stays
                     qh, ql = df64.df_add(qh, ql, mh, ml)
             wh = wh_win[pl.ds(hw, B)]
             wl = wl_win[pl.ds(hw, B)]
