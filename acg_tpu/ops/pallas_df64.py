@@ -49,7 +49,7 @@ def _kernel(offsets, hw, B, vals_exact, wh_hbm, wl_hbm,
             xh_ref, xl_ref, rh_ref, rl_ref, zh_ref, zl_ref,
             th_ref, tl_ref, ph_ref, pl_ref,
             xho, xlo, rho, rlo, who, wlo, zho, zlo, tho, tlo, pho, plo,
-            part_ref, winh0, winh1, winl0, winl1, sem):
+            part_ref, winh0, winh1, winl0, winl1, acc, sem):
     i = pl.program_id(0).astype(jnp.int32)
     nblocks = pl.num_programs(0)
     one, two = jnp.int32(1), jnp.int32(2)
@@ -130,10 +130,27 @@ def _kernel(offsets, hw, B, vals_exact, wh_hbm, wl_hbm,
         zho[:] = zh; zlo[:] = zl
         tho[:] = th; tlo[:] = tl
         pho[:] = phn; plo[:] = pln
-        part_ref[i, 0] = gh
-        part_ref[i, 1] = gl
-        part_ref[i, 2] = dh
-        part_ref[i, 3] = dl
+        # fold this block's (hi, lo) dot partials into the fixed SMEM
+        # accumulator (a per-block output table would scale SMEM with the
+        # grid and overflow on large problems); the grid is sequential so
+        # the accumulation is race-free
+        @pl.when(i == 0)
+        def _():
+            for j in range(4):
+                acc[j] = jnp.float32(0.0)
+
+        with df64.no_barriers():
+            agh, age = df64.two_sum(acc[0], gh)
+            acc[0] = agh
+            acc[1] = acc[1] + gl + age
+            adh, ade = df64.two_sum(acc[2], dh)
+            acc[2] = adh
+            acc[3] = acc[3] + dl + ade
+
+        @pl.when(i == nblocks - one)
+        def _():
+            for j in range(4):
+                part_ref[0, j] = acc[j]
 
     @pl.when(slot == 0)
     def _():
@@ -185,15 +202,16 @@ def fused_df64_iter(vals_h, vals_l, wh_ext, wl_ext,
                          memory_space=pltpu.VMEM),          # vals_l
         ] + [blk() for _ in range(10)],
         out_specs=tuple([blk() for _ in range(12)]
-                        + [pl.BlockSpec((nblocks, 4), lambda i: (z32, z32),
+                        + [pl.BlockSpec((1, 4), lambda i: (z32, z32),
                                         memory_space=pltpu.SMEM)]),
         out_shape=tuple([vec() for _ in range(12)]
-                        + [jax.ShapeDtypeStruct((nblocks, 4), f32)]),
+                        + [jax.ShapeDtypeStruct((1, 4), f32)]),
         scratch_shapes=[
             pltpu.VMEM((block + 2 * hw,), f32),
             pltpu.VMEM((block + 2 * hw,), f32),
             pltpu.VMEM((block + 2 * hw,), f32),
             pltpu.VMEM((block + 2 * hw,), f32),
+            pltpu.SMEM((4,), f32),
             pltpu.SemaphoreType.DMA((4,)),
         ],
         cost_estimate=pl.CostEstimate(
@@ -206,8 +224,8 @@ def fused_df64_iter(vals_h, vals_l, wh_ext, wl_ext,
       xh, xl, rh, rl, zh, zl, th, tl, ph, pl_)
     outs, parts = out[:12], out[12]
     p64 = parts.astype(jnp.float64)
-    gamma = jnp.sum(p64[:, 0] + p64[:, 1])
-    delta = jnp.sum(p64[:, 2] + p64[:, 3])
+    gamma = p64[0, 0] + p64[0, 1]
+    delta = p64[0, 2] + p64[0, 3]
     return (*outs, jnp.stack([gamma, delta]))
 
 
