@@ -121,3 +121,84 @@ def solve_host_stepped(op, b: np.ndarray, x0: np.ndarray | None = None,
                      x0nrm2=x0nrm2,
                      dxnrm2=dxnrm2 if np.isfinite(dxnrm2) else 0.0)
     return np.asarray(x[:N]), info
+
+
+def solve_host_stepped_dist(offsets, vals, b, nparts=None,
+                            x0=None, opt: CGOptions = CGOptions(),
+                            pad_to: int = 256, devices=None):
+    """Host-stepped DISTRIBUTED classic CG over a banded operator — the
+    direct analogue of the reference's host-driven MPI solver
+    (acgsolver_solvempi, cg.c:379-614): each iteration is one jitted
+    shard_map step (halo + SpMV + psum dots + updates on the mesh), with
+    the convergence branch on the host after a device→host scalar fetch.
+
+    Debug/comparison path; the compiled while_loop solvers
+    (solvers/dist_cg.py) are the production mode.
+    """
+    from jax import lax, shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.dist import (pad_stencil_vector, stencil_spmv_local)
+    from ..parallel.mesh import AXIS
+    from ..solvers.dist_cg import build_stencil_dist
+
+    dd = jnp.dtype(opt.dot_dtype)
+    mesh, plan, vals_sh = build_stencil_dist(offsets, vals, nparts,
+                                             None, pad_to, devices)
+    vdtype = vals_sh.dtype
+    b_g = pad_stencil_vector(plan, np.asarray(b)).astype(vdtype)
+    x_g = (np.zeros(plan.Ng, dtype=vdtype) if x0 is None
+           else pad_stencil_vector(plan, np.asarray(x0)).astype(vdtype))
+    vsh = NamedSharding(mesh, P(AXIS))
+    b_sh = jax.device_put(b_g, vsh)
+    x = jax.device_put(x_g, vsh)
+
+    def _setup(vals_l, b_l, x_l):
+        spmv = lambda xx: stencil_spmv_local(plan, vals_l, xx, AXIS)
+        r = b_l - spmv(x_l)
+        return (r, lax.psum(nrm2sqr(r, dd), AXIS),
+                lax.psum(nrm2sqr(b_l, dd), AXIS),
+                lax.psum(nrm2sqr(x_l, dd), AXIS))
+
+    def _step(vals_l, x_l, r_l, p_l, gamma):
+        spmv = lambda xx: stencil_spmv_local(plan, vals_l, xx, AXIS)
+        t = spmv(p_l)
+        pdott = lax.psum(dot(p_l, t, dd), AXIS)
+        alpha = gamma / pdott
+        xn = x_l + alpha.astype(vdtype) * p_l
+        rn = r_l - alpha.astype(vdtype) * t
+        gn = lax.psum(nrm2sqr(rn, dd), AXIS)
+        beta = gn / gamma
+        pn = rn + beta.astype(vdtype) * p_l
+        return xn, rn, pn, gn
+
+    sspec = dict(niterations=P(), converged=P())  # noqa: F841 (doc)
+    setup = jax.jit(shard_map(_setup, mesh=mesh,
+                              in_specs=(P(None, AXIS), P(AXIS), P(AXIS)),
+                              out_specs=(P(AXIS), P(), P(), P()),
+                              check_vma=False))
+    step = jax.jit(shard_map(_step, mesh=mesh,
+                             in_specs=(P(None, AXIS), P(AXIS), P(AXIS),
+                                       P(AXIS), P()),
+                             out_specs=(P(AXIS), P(AXIS), P(AXIS), P()),
+                             check_vma=False))
+
+    r, gamma_d, bn2_d, x0n2_d = setup(vals_sh, b_sh, x)
+    gamma = float(jax.device_get(gamma_d))
+    bnrm2 = float(np.sqrt(jax.device_get(bn2_d)))
+    x0nrm2 = float(np.sqrt(jax.device_get(x0n2_d)))
+    r0nrm2 = float(np.sqrt(gamma))
+    p = r
+
+    k = 0
+    converged = _check(r0nrm2, float("inf"), bnrm2, x0nrm2, opt)
+    while not converged and k < opt.max_iterations:
+        x, r, p, g = step(vals_sh, x, r, p, gamma)
+        gamma = float(jax.device_get(g))        # host decision point
+        k += 1
+        converged = _check(np.sqrt(gamma), float("inf"), bnrm2, x0nrm2, opt)
+
+    info = SolveInfo(niterations=k, converged=converged, bnrm2=bnrm2,
+                     r0nrm2=r0nrm2, rnrm2=float(np.sqrt(gamma)),
+                     x0nrm2=x0nrm2)
+    return np.asarray(x)[: plan.N], info

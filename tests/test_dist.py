@@ -167,3 +167,19 @@ def test_partitioned_matrix_describe(rng):
     assert f"parts={pm.P}" in d
     assert "halo volume" in d
     assert d.count("part ") == pm.P
+
+
+def test_host_stepped_distributed(rng):
+    """Host-driven distributed CG (acgsolver_solvempi analogue) matches
+    the compiled distributed solver."""
+    from acg_tpu.solvers.host_cg import solve_host_stepped_dist
+
+    offsets, vals, A, xstar, b = poisson_system(12, rng)
+    opt = CGOptions(max_iterations=500, residual_rtol=1e-10)
+    x, info = solve_host_stepped_dist(offsets, vals, b, nparts=4,
+                                      opt=opt, pad_to=32)
+    assert info.converged
+    assert np.linalg.norm(x - xstar) < 1e-8
+    x2, i2 = solve_dist_stencil(offsets, vals, b, nparts=4, opt=opt,
+                                method="cg", pad_to=32)
+    assert info.niterations == i2.niterations
