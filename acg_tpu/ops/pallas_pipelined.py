@@ -36,7 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 def _kernel(offsets, hw, B, w_hbm,
             ab_ref, bb_ref, vals_ref, x_ref, r_ref, z_ref, t_ref, p_ref,
             xo_ref, ro_ref, wo_ref, zo_ref, to_ref, po_ref, part_ref,
-            win0, win1, sem):
+            win0, win1, dacc, sem):
     i = pl.program_id(0).astype(jnp.int32)
     nblocks = pl.num_programs(0)
     two = jnp.int32(2)
@@ -82,8 +82,21 @@ def _kernel(offsets, hw, B, w_hbm,
         zo_ref[:] = z2
         to_ref[:] = t2
         po_ref[:] = p2
-        part_ref[i, 0] = jnp.sum(r2 * r2)
-        part_ref[i, 1] = jnp.sum(w2 * r2)
+        # per-LANE partial sums accumulated across blocks (the full
+        # cross-lane reduction per block stalls the VPU); the final
+        # (2, 128) table reduces in f64 outside the kernel
+        @pl.when(i == 0)
+        def _():
+            dacc[:, :] = jnp.zeros_like(dacc)
+
+        g = jnp.sum((r2 * r2).reshape(B // 128, 128), axis=0)
+        d = jnp.sum((w2 * r2).reshape(B // 128, 128), axis=0)
+        dacc[0, :] = dacc[0, :] + g
+        dacc[1, :] = dacc[1, :] + d
+
+        @pl.when(i == nblocks - one)
+        def _():
+            part_ref[:, :] = dacc[:, :]
 
     @pl.when(slot == 0)
     def _():
@@ -122,10 +135,10 @@ def fused_pipelined_iter(vals, w_ext, x, r, z, t, p, alpha, beta,
     try:
         vma = jax.typeof(vals).vma
         vec = lambda: jax.ShapeDtypeStruct((Np,), vdt, vma=vma)
-        parts_shape = jax.ShapeDtypeStruct((nblocks, 2), vdt, vma=vma)
+        parts_shape = jax.ShapeDtypeStruct((2, 128), vdt, vma=vma)
     except (AttributeError, TypeError):
         vec = lambda: jax.ShapeDtypeStruct((Np,), vdt)
-        parts_shape = jax.ShapeDtypeStruct((nblocks, 2), vdt)
+        parts_shape = jax.ShapeDtypeStruct((2, 128), vdt)
 
     # index maps must return int32: Python-int returns trace to i64 under
     # jax_enable_x64 and Mosaic fails to legalize the index-map function
@@ -146,14 +159,15 @@ def fused_pipelined_iter(vals, w_ext, x, r, z, t, p, alpha, beta,
             blk(), blk(), blk(), blk(), blk(),               # x r z t p
         ],
         out_specs=(blk(), blk(), blk(), blk(), blk(), blk(),
-                   # full (nblocks, 2) partial-dots table; explicit int32
+                   # (2, 128) per-lane partial-dots table; explicit int32
                    # index map (default maps return Python ints → i64)
-                   pl.BlockSpec((nblocks, 2), lambda i: (z32, z32),
-                                memory_space=pltpu.SMEM)),
+                   pl.BlockSpec((2, 128), lambda i: (z32, z32),
+                                memory_space=pltpu.VMEM)),
         out_shape=(vec(), vec(), vec(), vec(), vec(), vec(), parts_shape),
         scratch_shapes=[
             pltpu.VMEM((block + 2 * hw,), vdt),
             pltpu.VMEM((block + 2 * hw,), vdt),
+            pltpu.VMEM((2, 128), vdt),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
@@ -164,7 +178,7 @@ def fused_pipelined_iter(vals, w_ext, x, r, z, t, p, alpha, beta,
         interpret=jax.default_backend() == "cpu",
     )(w_ext, ab, bb, vals, x, r, z, t, p)
     x2, r2, w2, z2, t2, p2, parts = out
-    gd = jnp.sum(parts.astype(jnp.float64), axis=0)
+    gd = jnp.sum(parts.astype(jnp.float64), axis=1)
     return x2, r2, w2, z2, t2, p2, gd
 
 
