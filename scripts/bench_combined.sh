@@ -46,3 +46,7 @@ for SOLVER in acg acg-pipelined; do
         done
     done
 done
+
+# single-device kernel solvers: fused one-pass (f32) and df64 (f64-parity)
+run "$MTX" --solver acg-fused --dtype float32 "${COMMON[@]}"
+run "$MTX" --solver acg-df64 "${COMMON[@]}" 

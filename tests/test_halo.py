@@ -144,3 +144,13 @@ def test_multihost_helper_noop_and_info():
     assert init_multihost() is False
     pid, n = process_info()
     assert (pid, n) == (0, 1)
+
+
+def test_alltoall_two_parts(rng):
+    """P=2 edge case of the pairwise halo (single neighbour each side)."""
+    A, pm, xstar, b = _system(10, rng, 2, seed=4)
+    opt = CGOptions(max_iterations=1000, residual_rtol=1e-10)
+    x, info = solve_dist_general(pm, b, opt=opt, method="pipelined",
+                                 halo="alltoall")
+    assert info.converged
+    assert np.linalg.norm(x - xstar) < 1e-8
