@@ -122,8 +122,14 @@ class DiaOperator:
         """y = A @ x for a single-device operator; x, y are (Np,)."""
         hw = self.halo_width
         if self.backend == "pallas":
-            from ..ops.pallas_dia import pallas_halo_width
-            hw = pallas_halo_width(hw)
+            # boundary handling inside the kernel: no zero-extended copy
+            # of x per call (saves one full read+write of x per SpMV)
+            from ..ops.pallas_dia import (dia_spmv_pallas_np,
+                                          pallas_halo_width, pick_block)
+            hw_p = pallas_halo_width(hw)
+            block = pick_block(self.Np, len(self.offsets), hw_p,
+                               self.vals.dtype.itemsize)
+            return dia_spmv_pallas_np(self.vals, x, self.offsets, hw_p, block)
         return self.spmv_ext(self.extend(x, hw), hw)
 
     def flops_per_spmv(self) -> int:

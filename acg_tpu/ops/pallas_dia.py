@@ -34,10 +34,10 @@ def _round_up(x: int, m: int) -> int:
 
 def pallas_halo_width(hw: int) -> int:
     """Halo width to EXTEND vectors by for the pallas kernels: rounded up
-    so the DMA'd x window (block + 2*hw) stays aligned to the 1024-element
-    1-D VMEM tile (Mosaic requires tile-aligned slice lengths).  Blocks are
-    themselves multiples of 1024, so hw must be a multiple of 512."""
-    return max(_round_up(hw, 512), 512)
+    so every DMA span AND offset (window length block + 2*hw, source
+    starts blk*block − hw) stays aligned to the 1024-element 1-D VMEM
+    tile (Mosaic requires provably tile-aligned slices)."""
+    return max(_round_up(hw, 1024), 1024)
 
 
 def _dia_kernel(offsets, hw, B, x_hbm, vals_ref, y_ref, win0, win1, sem):
@@ -145,6 +145,166 @@ def dia_spmv_pallas(vals: jnp.ndarray, x_ext: jnp.ndarray,
         ),
         interpret=interpret,
     )(x_ext, vals)
+
+
+def _dia_kernel_np(offsets, hw, B, x_hbm, vals_ref, y_ref, win0, win1, sem):
+    """Variant taking the UNPADDED x (Np,) from HBM: boundary blocks zero
+    their window scratch and DMA only the in-range span, so callers do not
+    materialize a zero-extended copy of x every call (saves a full
+    read+write of x per SpMV inside solver loops).  hw is a multiple of
+    512 and B of 1024, so every DMA span stays tile-aligned."""
+    i = pl.program_id(0).astype(jnp.int32)
+    nblocks = pl.num_programs(0)
+    two = jnp.int32(2)
+    one = jnp.int32(1)
+    slot = jax.lax.rem(i, two)
+    nxt = jax.lax.rem(i + one, two)
+    Np = nblocks * B   # static
+
+    def window_copy(blk, win, s):
+        """DMA x[clamped span] into win at the matching offset."""
+        first = blk == 0
+        last = blk == nblocks - one
+        # interior: src [blk*B - hw, blk*B + B + hw) -> win[0:]
+        # first:    src [0, B + hw)                  -> win[hw:]
+        # last:     src [blk*B - hw, Np)             -> win[0:]
+        src_start = pl.multiple_of(
+            jax.lax.max(blk * jnp.int32(B) - jnp.int32(hw), jnp.int32(0)),
+            1024)
+        dst_start = pl.multiple_of(
+            jnp.where(first, jnp.int32(hw), jnp.int32(0)), 1024)
+        n_border = B + hw          # span at either boundary (aligned)
+        n_inner = B + 2 * hw
+        if nblocks == 1:
+            return pltpu.make_async_copy(
+                x_hbm.at[pl.ds(jnp.int32(0), B)],
+                win.at[pl.ds(jnp.int32(hw), B)], sem.at[jnp.int32(s)])
+        border = first | last
+        # two descriptor shapes (static lengths) selected by predicate
+        def cp(n):
+            return pltpu.make_async_copy(
+                x_hbm.at[pl.ds(src_start, n)],
+                win.at[pl.ds(dst_start, n)], sem.at[jnp.int32(s)])
+        return border, cp(n_border), cp(n_inner)
+
+    def start(blk, win, s):
+        if nblocks == 1:
+            window_copy(blk, win, s).start()
+            return
+        border, cb, ci_ = window_copy(blk, win, s)
+
+        @pl.when(border)
+        def _():
+            cb.start()
+
+        @pl.when(jnp.logical_not(border))
+        def _():
+            ci_.start()
+
+    def wait(blk, win, s):
+        if nblocks == 1:
+            window_copy(blk, win, s).wait()
+            return
+        border, cb, ci_ = window_copy(blk, win, s)
+
+        @pl.when(border)
+        def _():
+            cb.wait()
+
+        @pl.when(jnp.logical_not(border))
+        def _():
+            ci_.wait()
+
+    def prep(blk, win):
+        # zero the halo margins of boundary blocks before the DMA lands
+        @pl.when(blk == 0)
+        def _():
+            win[pl.ds(0, hw)] = jnp.zeros((hw,), win.dtype)
+
+        @pl.when(blk == nblocks - one)
+        def _():
+            win[pl.ds(B + hw, hw)] = jnp.zeros((hw,), win.dtype)
+
+    @pl.when(i == 0)
+    def _():
+        prep(i, win0)
+        start(i, win0, 0)
+
+    @pl.when((i + one < nblocks) & (nxt == 0))
+    def _():
+        prep(i + one, win0)
+        start(i + one, win0, 0)
+
+    @pl.when((i + one < nblocks) & (nxt == 1))
+    def _():
+        prep(i + one, win1)
+        start(i + one, win1, 1)
+
+    def compute(win):
+        acc = None
+        for k, off in enumerate(offsets):
+            term = vals_ref[k, :] * win[pl.ds(hw + off, B)]
+            acc = term if acc is None else acc + term
+        y_ref[:] = acc
+
+    @pl.when(slot == 0)
+    def _():
+        wait(i, win0, 0)
+        compute(win0)
+
+    @pl.when(slot == 1)
+    def _():
+        wait(i, win1, 1)
+        compute(win1)
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "hw", "block"))
+def dia_spmv_pallas_np(vals: jnp.ndarray, x: jnp.ndarray,
+                       offsets: tuple[int, ...], hw: int,
+                       block: int = 16384) -> jnp.ndarray:
+    """y = A @ x with x UNPADDED (Np,): boundary handling inside the
+    kernel; saves the per-call zero-extended copy of x."""
+    K, Np = vals.shape
+    assert Np % block == 0, (Np, block)
+    assert x.shape[0] == Np
+    assert hw % 1024 == 0 or jax.default_backend() == "cpu", hw
+    # DMA spans must stay tile-aligned on hardware; tiny operators (one
+    # sub-1024 block) only arise in CPU/interpret tests
+    assert block % 1024 == 0 or jax.default_backend() == "cpu", block
+    if vals.dtype == jnp.float64 and jax.default_backend() not in ("cpu",):
+        raise NotImplementedError(
+            "the pallas DIA backend requires float32 storage on TPU")
+    nblocks = Np // block
+    kernel = functools.partial(_dia_kernel_np, offsets, hw, block)
+    interpret = jax.default_backend() == "cpu"
+    try:
+        vma = jax.typeof(vals).vma
+        out_shape = jax.ShapeDtypeStruct((Np,), vals.dtype, vma=vma)
+    except (AttributeError, TypeError):
+        out_shape = jax.ShapeDtypeStruct((Np,), vals.dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((K, block), lambda i: (np.int32(0), i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block,), lambda i: (i,),
+                               memory_space=pltpu.VMEM),
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((block + 2 * hw,), vals.dtype),
+            pltpu.VMEM((block + 2 * hw,), vals.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * K * Np,
+            bytes_accessed=(K * Np + 2 * Np) * vals.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, vals)
 
 
 def pick_block(Np: int, K: int, hw: int, itemsize: int,
