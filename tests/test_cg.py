@@ -181,3 +181,19 @@ def test_mixed_dot_accumulation(rng):
     assert i2.converged
     assert abs(i2.niterations - i1.niterations) <= 3
     assert np.linalg.norm(x2 - xstar) / np.linalg.norm(xstar) < 1e-3
+
+
+def test_f32_precision_floor(rng):
+    """f32 storage cannot push the residual to deep tolerances (the
+    precision floor that motivates the df64 solver — which reaches rtol
+    1e-10 with f64-identical iteration counts on hardware, BENCHMARKS.md)."""
+    offsets, vals = poisson2d_dia(16)
+    op32 = DiaOperator.from_arrays(offsets, vals, dtype=np.float32, pad_to=1024)
+    rowidx, colidx, a, N = dia_to_coo(offsets, vals)
+    A = sp.coo_matrix((a, (rowidx, colidx)), shape=(N, N)).tocsr()
+    xstar, b = manufactured(rng, A, N)
+    opt = CGOptions(max_iterations=3000, residual_rtol=1e-10,
+                    dot_dtype="mixed")
+    x, info = solve(op32, b, opt=opt, method="pipelined")
+    assert not info.converged          # f32 stalls well above 1e-10
+    assert info.rnrm2 / info.bnrm2 > 1e-9
