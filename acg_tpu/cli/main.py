@@ -251,6 +251,13 @@ def main(argv=None) -> int:
                 print("error: --solver acg-df64 consumes a float64 operator "
                       "(drop --dtype float32)", file=sys.stderr)
                 raise SystemExit(1)
+            if args.solver == "acg-fused" and args.dtype != "float32":
+                # Mosaic has no f64 tiling on TPU; reject here instead of
+                # a NotImplementedError traceback from inside jit
+                print("error: --solver acg-fused requires --dtype float32 "
+                      "(Mosaic kernels are f32-only on TPU; use acg-df64 "
+                      "for f64-quality results)", file=sys.stderr)
+                raise SystemExit(1)
             method = ("pipelined-fused" if args.solver == "acg-fused"
                       else "pipelined-df64")
             return solve(op, b, x0, opt, method)

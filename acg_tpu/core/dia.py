@@ -84,8 +84,14 @@ class DiaOperator:
             vals = vals.astype(dtype)
         if Np != N:
             vals = np.pad(vals, ((0, 0), (0, Np - N)))
-        return cls(vals=jnp.asarray(vals), offsets=offsets, N=N,
-                   backend=backend)
+        op = cls(vals=jnp.asarray(vals), offsets=offsets, N=N,
+                 backend=backend)
+        # static property cached while vals is still a host array (the df64
+        # solver specializes its kernel on it; checking per solve would cost
+        # a full device→host fetch of the operator every call)
+        op._vals_exact = bool(
+            np.all(vals == vals.astype(np.float32).astype(vals.dtype)))
+        return op
 
     # -- SpMV -----------------------------------------------------------------
 

@@ -267,6 +267,16 @@ def dia_spmv_pallas_np(vals: jnp.ndarray, x: jnp.ndarray,
     K, Np = vals.shape
     assert Np % block == 0, (Np, block)
     assert x.shape[0] == Np
+    if hw > block:
+        # The in-kernel two-descriptor boundary scheme is only valid when
+        # the halo fits inside one neighbouring block: with hw > block,
+        # blocks NEAR (but not at) the edges also need clamped spans, and
+        # the clamped src_start pairs with the wrong dst offset (silently
+        # misaligned windows).  Fall back to the zero-extended-x kernel —
+        # correct for any hw at the cost of materializing x_ext per call.
+        z = jnp.zeros((hw,), x.dtype)
+        return dia_spmv_pallas(vals, jnp.concatenate([z, x, z]),
+                               offsets, hw, block)
     assert hw % 1024 == 0 or jax.default_backend() == "cpu", hw
     # DMA spans must stay tile-aligned on hardware; tiny operators (one
     # sub-1024 block) only arise in CPU/interpret tests

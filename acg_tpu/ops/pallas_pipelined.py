@@ -122,6 +122,12 @@ def fused_pipelined_iter(vals, w_ext, x, r, z, t, p, alpha, beta,
     """
     K, Np = vals.shape
     assert Np % block == 0, (Np, block)
+    if block % 128 != 0:
+        raise ValueError(
+            f"the fused pipelined kernel reduces dot partials in 128-lane "
+            f"rows, so the block size must be a multiple of 128 (got "
+            f"block={block} from Np={Np}); construct the operator with "
+            f"pad_to a multiple of 128")
     assert w_ext.shape[0] == Np + 2 * hw
     if vals.dtype == jnp.float64 and jax.default_backend() not in ("cpu",):
         raise NotImplementedError(

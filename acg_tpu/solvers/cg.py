@@ -622,10 +622,17 @@ def solve(op, b: np.ndarray, x0: np.ndarray | None = None,
 
     vals_exact = False
     if method == "pipelined-df64":
-        # static property used to specialize the kernel (host-side check,
-        # once per operator): matrix entries exactly f32-representable?
-        v = np.asarray(op.vals)
-        vals_exact = bool(np.all(v == v.astype(np.float32).astype(v.dtype)))
+        # static property used to specialize the kernel (matrix entries
+        # exactly f32-representable?) — cached on the operator at
+        # construction; the fallback fetch happens at most once per
+        # operator instance (a per-solve fetch costs seconds over the
+        # device tunnel)
+        vals_exact = getattr(op, "_vals_exact", None)
+        if vals_exact is None:
+            v = np.asarray(op.vals)
+            vals_exact = bool(
+                np.all(v == v.astype(np.float32).astype(v.dtype)))
+            op._vals_exact = vals_exact
 
     if history:
         x, scalars, hist = _run_single(op, bp, x0p, opt, method, True,

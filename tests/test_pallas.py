@@ -70,6 +70,41 @@ def test_operator_backend_switch():
                                np.asarray(op_x.spmv(x)), rtol=1e-12)
 
 
+def test_np_kernel_wide_halo_regression():
+    """hw > block (the 3-D 27-point regime: hw≈n² while blocks cap at
+    VMEM size): the in-kernel boundary scheme only covers hw <= block, so
+    dia_spmv_pallas_np must route wide halos through the zero-extended
+    kernel.  Round-1 silently miscomputed rows near the edges here."""
+    import jax.numpy as jnp
+    offsets, vals = poisson3d_dia(8, 27)   # N=512, hw=73
+    rowidx, colidx, a, N = dia_to_coo(offsets, vals)
+    A = sp.coo_matrix((a, (rowidx, colidx)), shape=(N, N)).tocsr()
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(N)
+    # hw=128 > block=64, nblocks=8 > 2: several non-edge blocks need clamps
+    y = np.asarray(pallas_dia.dia_spmv_pallas_np(
+        jnp.asarray(vals), jnp.asarray(x),
+        tuple(int(o) for o in offsets), 128, 64))
+    np.testing.assert_allclose(y[:N], A @ x, rtol=1e-12, atol=1e-12)
+
+
+def test_np_kernel_matches_ext_all_regimes():
+    """dia_spmv_pallas_np == spmv via extension for hw below, at, and
+    above the block size."""
+    import jax.numpy as jnp
+    offsets, vals = poisson2d_dia(16)      # N=256, hw=16
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal(256)
+    xj = jnp.asarray(x)
+    vj = jnp.asarray(vals)
+    offs = tuple(int(o) for o in offsets)
+    for hw, block in [(16, 64), (64, 64), (128, 64), (256, 32)]:
+        xe = jnp.asarray(np.concatenate([np.zeros(hw), x, np.zeros(hw)]))
+        ref = np.asarray(pallas_dia.dia_spmv_pallas(vj, xe, offs, hw, block))
+        got = np.asarray(pallas_dia.dia_spmv_pallas_np(vj, xj, offs, hw, block))
+        np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-12)
+
+
 def test_pick_block():
     assert pallas_dia.pick_block(4096 * 1024, 5, 2048, 4) >= 1024
     b = pallas_dia.pick_block(5 * 1024, 27, 512, 8)
