@@ -125,17 +125,31 @@ class DiaOperator:
         return jnp.concatenate([z, x, z])
 
     def spmv(self, x: jnp.ndarray) -> jnp.ndarray:
-        """y = A @ x for a single-device operator; x, y are (Np,)."""
+        """y = A @ x for a single-device operator; x, y are (Np,).
+
+        pallas backend: picks between the windowed kernel (one
+        (B+2hw)-wide window DMA per block — x read (1+2hw/B)×) and the
+        ring kernel (x streamed exactly once, any width) by estimated
+        extra HBM traffic.  Wide stencils (hw ≳ B/8, in particular the
+        27-point 3-D matrices where hw ≈ n² ≫ B) take the ring."""
         hw = self.halo_width
         if self.backend == "pallas":
-            # boundary handling inside the kernel: no zero-extended copy
-            # of x per call (saves one full read+write of x per SpMV)
-            from ..ops.pallas_dia import (dia_spmv_pallas_np,
-                                          pallas_halo_width, pick_block)
+            from ..ops.pallas_dia import (dia_spmv_pallas_np, dia_spmv_ring,
+                                          pallas_halo_width, pick_block,
+                                          pick_block_ring)
+            isz = self.vals.dtype.itemsize
+            K = len(self.offsets)
             hw_p = pallas_halo_width(hw)
-            block = pick_block(self.Np, len(self.offsets), hw_p,
-                               self.vals.dtype.itemsize)
-            return dia_spmv_pallas_np(self.vals, x, self.offsets, hw_p, block)
+            block_np = pick_block(self.Np, K, hw_p, isz)
+            block_r = pick_block_ring(self.Np, K, hw, isz)
+            # extra x bytes beyond the single mandatory read, per SpMV:
+            extra_np = 2 * hw_p / block_np + (2 if hw_p > block_np else 0)
+            if block_r is not None:
+                m = -(-hw // block_r)
+                if 1.0 / (2 * m + 2) < extra_np:
+                    return dia_spmv_ring(self.vals, x, self.offsets, block_r)
+            return dia_spmv_pallas_np(self.vals, x, self.offsets, hw_p,
+                                      block_np)
         return self.spmv_ext(self.extend(x, hw), hw)
 
     def flops_per_spmv(self) -> int:

@@ -317,6 +317,210 @@ def dia_spmv_pallas_np(vals: jnp.ndarray, x: jnp.ndarray,
     )(x, vals)
 
 
+# ---------------------------------------------------------------------------
+# Ring-buffer SpMV: x streamed through VMEM exactly once, any halo width.
+#
+# The windowed kernels above DMA a (B + 2hw)-wide window per block, so x is
+# read (1 + 2hw/B)× — ruinous for wide stencils (27-pt 3-D at n=256 has
+# hw ≈ n² ≈ 4B, i.e. 9× the x traffic; the measured 61%-of-roofline gap).
+# Here a persistent VMEM ring of R = 2m+2 blocks (m = ceil(hw/B)) holds the
+# live x span [iB − mB, iB + (m+1)B); each grid step DMAs exactly ONE new
+# B-chunk (prefetched a full step ahead — R has the +2 so the prefetch
+# never lands on a block the current step still reads).  One extra
+# "mirror" block after the ring holds a copy of ring block 0, so slice
+# windows never wrap: every read is a single static slice.  Slice starts
+# depend on i only through i mod R, so the compute is unrolled over the R
+# phases with all offsets static (Mosaic rejects dynamic 1-D VMEM slices).
+# x HBM traffic: Np·(1 + 1/R) (the 1/R is the mirrored chunks).
+# ---------------------------------------------------------------------------
+
+
+class RingWindow:
+    """In-kernel helper managing the ring: call ``initial_fill()`` once
+    under ``pl.when(i == 0)``, then inside each phase branch p call
+    ``prefetch(i, p)``, ``wait(i, p)``, and read ``slice_at(p, off)``.
+    Shared by the SpMV and fused-iteration ring kernels."""
+
+    def __init__(self, m: int, B: int, nb: int, x_hbm, ring, sem):
+        self.m, self.B, self.nb = m, B, nb
+        self.R = 2 * m + 2
+        self.RB = self.R * B
+        self.x_hbm, self.ring, self.sem = x_hbm, ring, sem
+
+    def _chunk_dma(self, j, blk):
+        # x chunk j (HBM [jB, (j+1)B)) -> ring block blk (static)
+        return pltpu.make_async_copy(
+            self.x_hbm.at[pl.ds(j * jnp.int32(self.B), self.B)],
+            self.ring.at[pl.ds(jnp.int32(blk * self.B), self.B)],
+            self.sem.at[jnp.int32(0)])
+
+    def _mirror_dma(self, j):
+        # duplicate of ring block 0 at block R: reads never wrap
+        return pltpu.make_async_copy(
+            self.x_hbm.at[pl.ds(j * jnp.int32(self.B), self.B)],
+            self.ring.at[pl.ds(jnp.int32(self.RB), self.B)],
+            self.sem.at[jnp.int32(1)])
+
+    def _zero(self, blk):
+        self.ring[pl.ds(blk * self.B, self.B)] = \
+            jnp.zeros((self.B,), self.ring.dtype)
+
+    def initial_fill(self):
+        """Fill chunks −m..m (zeros outside [0, nb)).  Call at i == 0."""
+        m, R, nb = self.m, self.R, self.nb
+        for j in range(-m, m + 1):
+            blk = j % R
+            if 0 <= j < nb:
+                self._chunk_dma(jnp.int32(j), blk).start()
+                if blk == 0:
+                    self._mirror_dma(jnp.int32(j)).start()
+            else:
+                self._zero(blk)
+                if blk == 0:
+                    self._zero(R)
+
+    def prefetch(self, i, p: int):
+        """Start the DMA for chunk i+m+1 into ring block (p+m+1) mod R
+        (replacing chunk i−m−1, which step i no longer reads)."""
+        m, R, nb = self.m, self.R, self.nb
+        one = jnp.int32(1)
+        nblk = (p + m + 1) % R
+
+        @pl.when(i + m + one < nb)
+        def _():
+            self._chunk_dma(i + m + one, nblk).start()
+            if nblk == 0:
+                self._mirror_dma(i + m + one).start()
+
+        @pl.when((i + one < nb) & (i + m + one >= nb))
+        def _():
+            # next step reads this block as zeros (past the end of x)
+            self._zero(nblk)
+            if nblk == 0:
+                self._zero(R)
+
+    def wait(self, i, p: int):
+        """Wait for this step's newest chunk(s)."""
+        m, R, nb = self.m, self.R, self.nb
+
+        @pl.when(i == 0)
+        def _():
+            for j in range(0, min(m + 1, nb)):
+                self._chunk_dma(jnp.int32(j), j % R).wait()
+                if j % R == 0:
+                    self._mirror_dma(jnp.int32(j)).wait()
+
+        wblk = (p + m) % R
+
+        @pl.when((i > 0) & (i + m < nb))
+        def _():
+            self._chunk_dma(i + m, wblk).wait()
+            if wblk == 0:
+                self._mirror_dma(i + m).wait()
+
+    def slice_at(self, p: int, off: int):
+        """x[iB + off : iB + off + B] as one static VMEM slice (phase p)."""
+        return self.ring[pl.ds((p * self.B + off) % self.RB, self.B)]
+
+
+def ring_scratch_shapes(m: int, block: int, dtype):
+    """(ring VMEM buffer, 2-semaphore array) scratch for a RingWindow."""
+    R = 2 * m + 2
+    return [pltpu.VMEM(((R + 1) * block,), dtype),
+            pltpu.SemaphoreType.DMA((2,))]
+
+
+def _dia_ring_kernel(offsets, m, B, nb, x_hbm, vals_ref, y_ref, ring, sem):
+    R = 2 * m + 2
+    i = pl.program_id(0).astype(jnp.int32)
+    win = RingWindow(m, B, nb, x_hbm, ring, sem)
+    phase = jax.lax.rem(i, jnp.int32(R))
+
+    @pl.when(i == 0)
+    def _():
+        win.initial_fill()
+
+    for p in range(R):
+
+        @pl.when(phase == p)
+        def _(p=p):
+            win.prefetch(i, p)
+            win.wait(i, p)
+            # compute: all slice starts static for this phase
+            acc = None
+            for k, off in enumerate(offsets):
+                term = vals_ref[k, :] * win.slice_at(p, off)
+                acc = term if acc is None else acc + term
+            y_ref[:] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "block"))
+def dia_spmv_ring(vals: jnp.ndarray, x: jnp.ndarray,
+                  offsets: tuple[int, ...], block: int) -> jnp.ndarray:
+    """y = A @ x with x UNPADDED (Np,), x streamed through a VMEM ring
+    exactly once — the wide-stencil fast path (any |offset| < Np)."""
+    K, Np = vals.shape
+    assert Np % block == 0, (Np, block)
+    assert x.shape[0] == Np
+    hw = max(max(abs(o) for o in offsets), 1)
+    m = -(-hw // block)
+    R = 2 * m + 2
+    assert block % 1024 == 0 or jax.default_backend() == "cpu", block
+    if vals.dtype == jnp.float64 and jax.default_backend() not in ("cpu",):
+        raise NotImplementedError(
+            "the pallas DIA backend requires float32 storage on TPU")
+    nblocks = Np // block
+    kernel = functools.partial(_dia_ring_kernel, offsets, m, block, nblocks)
+    interpret = jax.default_backend() == "cpu"
+    try:
+        vma = jax.typeof(vals).vma
+        out_shape = jax.ShapeDtypeStruct((Np,), vals.dtype, vma=vma)
+    except (AttributeError, TypeError):
+        out_shape = jax.ShapeDtypeStruct((Np,), vals.dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((K, block), lambda i: (np.int32(0), i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block,), lambda i: (i,),
+                               memory_space=pltpu.VMEM),
+        out_shape=out_shape,
+        scratch_shapes=ring_scratch_shapes(m, block, vals.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * K * Np,
+            bytes_accessed=(K * Np + 2 * Np + Np // R) * vals.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, vals)
+
+
+def pick_block_ring(Np: int, K: int, hw: int, itemsize: int,
+                    vmem_budget: int = 8 * 1024 * 1024,
+                    max_phase_terms: int = 1024) -> int | None:
+    """Block size for the ring kernel: double-buffered vals (2K·B), the
+    (2m+3)-block ring (≈ 2hw + 3B), and the y block must fit VMEM, and the
+    phase-unrolled compute (R·K static slice terms) must stay within a
+    compile-size budget.  Returns None when no block qualifies (fall back
+    to the windowed kernels)."""
+    if Np <= 128:
+        return None
+    b = 16384
+    while b > Np:
+        b //= 2
+    while b >= 1024:
+        m = -(-hw // b)
+        R = 2 * m + 2
+        need = ((2 * K + 3) * b + (R + 1) * b) * itemsize
+        if need <= vmem_budget and Np % b == 0 and R * K <= max_phase_terms:
+            return b
+        b //= 2
+    return None
+
+
 def pick_block(Np: int, K: int, hw: int, itemsize: int,
                vmem_budget: int = 8 * 1024 * 1024) -> int:
     """Largest power-of-two block ≤ Np such that the double-buffered vals

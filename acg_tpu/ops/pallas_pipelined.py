@@ -188,6 +188,163 @@ def fused_pipelined_iter(vals, w_ext, x, r, z, t, p, alpha, beta,
     return x2, r2, w2, z2, t2, p2, gd
 
 
+# ---------------------------------------------------------------------------
+# Ring-buffer fused iteration: w streamed through VMEM exactly once (no
+# zero-extended copy of w per iteration, no (B+2hw)-window re-reads), any
+# halo width — the ring machinery of ops/pallas_dia.py applied to the
+# one-pass iteration.  Traffic: (K + 12 + 1/R)·N vs the windowed variant's
+# (K + 14 + 2hw/B)·N (which also pays extend()'s read+write of w).
+
+
+def _kernel_ring(offsets, m, B, nb, w_hbm,
+                 ab_ref, bb_ref, vals_ref, x_ref, r_ref, z_ref, t_ref, p_ref,
+                 xo_ref, ro_ref, wo_ref, zo_ref, to_ref, po_ref, part_ref,
+                 ring, sem, dacc):
+    from .pallas_dia import RingWindow
+
+    R = 2 * m + 2
+    i = pl.program_id(0).astype(jnp.int32)
+    nblocks = pl.num_programs(0)
+    one = jnp.int32(1)
+    win = RingWindow(m, B, nb, w_hbm, ring, sem)
+    phase = jax.lax.rem(i, jnp.int32(R))
+
+    @pl.when(i == 0)
+    def _():
+        win.initial_fill()
+
+    ab = ab_ref[0, 0]
+    bb = bb_ref[0, 0]
+
+    for p in range(R):
+
+        @pl.when(phase == p)
+        def _(p=p):
+            win.prefetch(i, p)
+            win.wait(i, p)
+            q = None
+            for k, off in enumerate(offsets):
+                term = vals_ref[k, :] * win.slice_at(p, off)
+                q = term if q is None else q + term
+            w = win.slice_at(p, 0)
+            z2 = q + bb * z_ref[:]
+            t2 = w + bb * t_ref[:]
+            p2 = r_ref[:] + bb * p_ref[:]
+            x2 = x_ref[:] + ab * p2
+            r2 = r_ref[:] - ab * t2
+            w2 = w - ab * z2
+            xo_ref[:] = x2
+            ro_ref[:] = r2
+            wo_ref[:] = w2
+            zo_ref[:] = z2
+            to_ref[:] = t2
+            po_ref[:] = p2
+
+            @pl.when(i == 0)
+            def _():
+                dacc[:, :] = jnp.zeros_like(dacc)
+
+            g = jnp.sum((r2 * r2).reshape(B // 128, 128), axis=0)
+            d = jnp.sum((w2 * r2).reshape(B // 128, 128), axis=0)
+            dacc[0, :] = dacc[0, :] + g
+            dacc[1, :] = dacc[1, :] + d
+
+            @pl.when(i == nblocks - one)
+            def _():
+                part_ref[:, :] = dacc[:, :]
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "block"))
+def fused_pipelined_iter_ring(vals, w, x, r, z, t, p, alpha, beta,
+                              offsets: tuple[int, ...], block: int):
+    """One fused pipelined-CG iteration with w UNPADDED (Np,): the ring
+    window streams w once; boundaries are implicit zeros.  Same returns as
+    fused_pipelined_iter."""
+    from .pallas_dia import ring_scratch_shapes
+
+    K, Np = vals.shape
+    assert Np % block == 0, (Np, block)
+    if block % 128 != 0:
+        raise ValueError(
+            f"fused kernels require 128-multiple blocks (got {block}); "
+            f"construct the operator with pad_to a multiple of 128")
+    assert w.shape[0] == Np
+    if vals.dtype == jnp.float64 and jax.default_backend() not in ("cpu",):
+        raise NotImplementedError(
+            "the fused pipelined kernel requires float32 storage on TPU")
+    hw = max(max(abs(o) for o in offsets), 1)
+    m = -(-hw // block)
+    nblocks = Np // block
+    kernel = functools.partial(_kernel_ring, offsets, m, block, nblocks)
+    vdt = vals.dtype
+    ab = jnp.reshape(alpha.astype(vdt), (1, 1))
+    bb = jnp.reshape(beta.astype(vdt), (1, 1))
+
+    try:
+        vma = jax.typeof(vals).vma
+        vec = lambda: jax.ShapeDtypeStruct((Np,), vdt, vma=vma)
+        parts_shape = jax.ShapeDtypeStruct((2, 128), vdt, vma=vma)
+    except (AttributeError, TypeError):
+        vec = lambda: jax.ShapeDtypeStruct((Np,), vdt)
+        parts_shape = jax.ShapeDtypeStruct((2, 128), vdt)
+
+    z32 = np.int32(0)
+    blk = lambda: pl.BlockSpec((block,), lambda i: (i,),
+                               memory_space=pltpu.VMEM)
+    smem_scalar = lambda: pl.BlockSpec((1, 1), lambda i: (z32, z32),
+                                       memory_space=pltpu.SMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),               # w in HBM
+            smem_scalar(),                                   # alpha
+            smem_scalar(),                                   # beta
+            pl.BlockSpec((K, block), lambda i: (z32, i),
+                         memory_space=pltpu.VMEM),           # vals
+            blk(), blk(), blk(), blk(), blk(),               # x r z t p
+        ],
+        out_specs=(blk(), blk(), blk(), blk(), blk(), blk(),
+                   pl.BlockSpec((2, 128), lambda i: (z32, z32),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(vec(), vec(), vec(), vec(), vec(), vec(), parts_shape),
+        scratch_shapes=ring_scratch_shapes(m, block, vdt) + [
+            pltpu.VMEM((2, 128), vdt),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=(2 * K + 12) * Np,
+            bytes_accessed=(K + 13) * Np * vdt.itemsize,
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(w, ab, bb, vals, x, r, z, t, p)
+    x2, r2, w2, z2, t2, p2, parts = out
+    gd = jnp.sum(parts.astype(jnp.float64), axis=1)
+    return x2, r2, w2, z2, t2, p2, gd
+
+
+def pick_block_fused_ring(Np: int, K: int, hw: int, itemsize: int,
+                          vmem_budget: int = 10 * 1024 * 1024,
+                          max_phase_terms: int = 1024) -> int | None:
+    """Block size for the fused ring kernel: double-buffered vals (2K·B),
+    11 vector blocks double-buffered (22·B), the (2m+3)-block ring.
+    None when no block fits (fall back to the windowed fused kernel)."""
+    if Np < 128:
+        return None
+    b = 16384
+    while b > Np:
+        b //= 2
+    while b >= 128:
+        m = -(-hw // b)
+        R = 2 * m + 2
+        need = ((2 * K + 24) * b + (R + 1) * b) * itemsize
+        if need <= vmem_budget and Np % b == 0 and b % 128 == 0 \
+                and R * (K + 12) <= max_phase_terms:
+            return b
+        b //= 2
+    return None
+
+
 def pick_block_fused(Np: int, K: int, hw: int, itemsize: int,
                      vmem_budget: int = 10 * 1024 * 1024) -> int:
     """Largest power-of-two block such that the kernel's VMEM residents fit:

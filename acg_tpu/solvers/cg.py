@@ -374,22 +374,41 @@ def pipelined_cg_loop_fused(op, b, x0, opt: CGOptions,
     stopping criteria are not supported (use the unfused loop).
     """
     from ..ops.pallas_dia import pallas_halo_width
-    from ..ops.pallas_pipelined import fused_pipelined_iter, pick_block_fused
+    from ..ops.pallas_pipelined import (fused_pipelined_iter,
+                                        fused_pipelined_iter_ring,
+                                        pick_block_fused,
+                                        pick_block_fused_ring)
 
     if opt.needs_diff:
         raise ValueError("diff-based stopping criteria are not supported by "
                          "the fused pipelined solver")
+    ring_block = None
     if op is not None:
-        hw = pallas_halo_width(op.halo_width)
         offsets = tuple(int(o) for o in op.offsets)
         vals = op.vals
-        extend_fn = lambda v: op.extend(v, hw)
         spmv = op.spmv
+        # single-device: stream w through the VMEM ring (exactly one read
+        # of w, no extend() pass, boundaries implicit zeros); fall back to
+        # the windowed kernel + zero-extension when no ring block fits
+        ring_block = pick_block_fused_ring(vals.shape[1], len(offsets),
+                                           op.halo_width, b.dtype.itemsize)
+        hw = pallas_halo_width(op.halo_width)
+        extend_fn = lambda v: op.extend(v, hw)
     dd = jnp.dtype(jnp.float64)
     vdtype = b.dtype
     offsets = tuple(int(o) for o in offsets)
-    block = pick_block_fused(vals.shape[1], len(offsets), hw,
-                             b.dtype.itemsize)
+    if ring_block is not None:
+        def iter_fn(w, x, r, z, t, p, alpha, beta):
+            return fused_pipelined_iter_ring(vals, w, x, r, z, t, p,
+                                             alpha, beta, offsets,
+                                             ring_block)
+    else:
+        block = pick_block_fused(vals.shape[1], len(offsets), hw,
+                                 b.dtype.itemsize)
+
+        def iter_fn(w, x, r, z, t, p, alpha, beta):
+            return fused_pipelined_iter(vals, extend_fn(w), x, r, z, t, p,
+                                        alpha, beta, offsets, hw, block)
 
     bnrm2sqr = reduce_fn(nrm2sqr(b, "mixed"))
     x0nrm2sqr = reduce_fn(nrm2sqr(x0, "mixed"))
@@ -412,9 +431,8 @@ def pipelined_cg_loop_fused(op, b, x0, opt: CGOptions,
         alpha = jnp.where(frozen, zero,
                           gamma / (delta - beta * gamma / aprev))
         with jax.named_scope("acg.fused_iter"):
-            x2, r2, w2, z2, t2, p2, gd = fused_pipelined_iter(
-                vals, extend_fn(w), x, r, z, t, p, alpha, beta,
-                offsets, hw, block)
+            x2, r2, w2, z2, t2, p2, gd = iter_fn(w, x, r, z, t, p,
+                                                 alpha, beta)
         gd = reduce_fn(gd)
         gamma_new = jnp.where(frozen, gamma, gd[0])
         delta_new = jnp.where(frozen, delta, gd[1])

@@ -57,6 +57,50 @@ def test_fused_iter_matches_unfused(rng):
                                [re64 @ re64, we64 @ re64], rtol=1e-4)
 
 
+def test_fused_ring_matches_windowed(rng):
+    """The ring-window fused iteration must equal the extended-w windowed
+    one bit-for-bit (same arithmetic order)."""
+    import jax.numpy as jnp
+    offsets, vals = poisson2d_dia(16)
+    op = DiaOperator.from_arrays(offsets, vals, dtype=np.float32, pad_to=128)
+    Np, hw = op.Np, op.halo_width
+    offs = tuple(int(o) for o in offsets)
+    arrs = {n: jnp.asarray(rng.standard_normal(Np), jnp.float32)
+            for n in "xrwztp"}
+    alpha = jnp.float64(0.37)
+    beta = jnp.float64(0.11)
+    a = pp.fused_pipelined_iter(
+        op.vals, op.extend(arrs["w"], hw), arrs["x"], arrs["r"],
+        arrs["z"], arrs["t"], arrs["p"], alpha, beta, offs, hw, 128)
+    b = pp.fused_pipelined_iter_ring(
+        op.vals, arrs["w"], arrs["x"], arrs["r"],
+        arrs["z"], arrs["t"], arrs["p"], alpha, beta, offs, 128)
+    for got, exp in zip(b, a):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(exp))
+
+
+def test_fused_ring_wide_halo(rng):
+    """Ring fused iteration with hw > block (the 3-D regime)."""
+    import jax.numpy as jnp
+    from acg_tpu.io.generators import poisson3d_dia
+    offsets, vals = poisson3d_dia(8, 27)   # N=512, hw=73
+    op = DiaOperator.from_arrays(offsets, vals, dtype=np.float32, pad_to=128)
+    Np, hw = op.Np, op.halo_width
+    offs = tuple(int(o) for o in offsets)
+    arrs = {n: jnp.asarray(rng.standard_normal(Np), jnp.float32)
+            for n in "xrwztp"}
+    alpha = jnp.float64(0.2)
+    beta = jnp.float64(0.5)
+    a = pp.fused_pipelined_iter(
+        op.vals, op.extend(arrs["w"], hw), arrs["x"], arrs["r"],
+        arrs["z"], arrs["t"], arrs["p"], alpha, beta, offs, hw, 128)
+    b = pp.fused_pipelined_iter_ring(
+        op.vals, arrs["w"], arrs["x"], arrs["r"],
+        arrs["z"], arrs["t"], arrs["p"], alpha, beta, offs, 128)
+    for got, exp in zip(b, a):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(exp))
+
+
 @pytest.mark.parametrize("ce", [1, 4])
 def test_fused_solver_converges(ce, rng):
     offsets, vals = poisson2d_dia(12)

@@ -105,6 +105,79 @@ def test_np_kernel_matches_ext_all_regimes():
         np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-12)
 
 
+def _ring_check(offsets, vals, block, dtype=np.float64, seed=7):
+    import jax.numpy as jnp
+    K, N = vals.shape
+    rowidx, colidx, a, _ = dia_to_coo(offsets, vals)
+    A = sp.coo_matrix((a, (rowidx, colidx)), shape=(N, N)).tocsr()
+    x = np.random.default_rng(seed).standard_normal(N).astype(dtype)
+    y = np.asarray(pallas_dia.dia_spmv_ring(
+        jnp.asarray(vals.astype(dtype)), jnp.asarray(x),
+        tuple(int(o) for o in offsets), block))
+    tol = 1e-4 if dtype == np.float32 else 1e-12
+    np.testing.assert_allclose(y[:N], A @ x, rtol=tol, atol=tol)
+
+
+def test_ring_narrow_halo():
+    offsets, vals = poisson2d_dia(16)       # N=256, hw=16
+    _ring_check(offsets, vals, block=64)    # m=1, several blocks
+
+
+def test_ring_wide_halo_3d():
+    """hw ≈ n² > block: the regime the ring kernel exists for."""
+    offsets, vals = poisson3d_dia(8, 27)    # N=512, hw=73
+    _ring_check(offsets, vals, block=64)    # m=2, R=6, nb=8
+
+
+def test_ring_halo_wider_than_matrix_span():
+    offsets, vals = poisson3d_dia(8, 27)
+    _ring_check(offsets, vals, block=32)    # m=3, R=8, nb=16
+
+
+def test_ring_single_block():
+    offsets, vals = poisson2d_dia(16)
+    _ring_check(offsets, vals, block=256)   # nb=1: all boundary
+
+
+def test_ring_two_blocks_f32():
+    offsets, vals = poisson2d_dia(16)
+    _ring_check(offsets, vals, block=128, dtype=np.float32)
+
+
+def test_ring_asymmetric_random_offsets():
+    """Arbitrary (non-stencil) offsets exercise every wrap phase."""
+    rng = np.random.default_rng(11)
+    N = 768
+    offs = np.unique(np.concatenate([[0], rng.integers(-700, 700, 40)]))
+    vals = rng.standard_normal((len(offs), N))
+    # zero out-of-range slots (the DIA zero-padding invariant)
+    for k, off in enumerate(offs):
+        if off > 0:
+            vals[k, N - off:] = 0.0
+        elif off < 0:
+            vals[k, :-off] = 0.0
+    _ring_check(offs, vals, block=64)       # m=11, R=24, nb=12
+
+
+def test_ring_matches_windowed_kernel():
+    import jax.numpy as jnp
+    offsets, vals = poisson2d_dia(16)
+    x = np.random.default_rng(5).standard_normal(256)
+    offs = tuple(int(o) for o in offsets)
+    ring = np.asarray(pallas_dia.dia_spmv_ring(
+        jnp.asarray(vals), jnp.asarray(x), offs, 64))
+    windowed = np.asarray(pallas_dia.dia_spmv_pallas_np(
+        jnp.asarray(vals), jnp.asarray(x), offs, 16, 64))
+    np.testing.assert_allclose(ring, windowed, rtol=1e-13, atol=1e-13)
+
+
+def test_pick_block_ring():
+    b = pallas_dia.pick_block_ring(2048 * 2048, 5, 2048, 4)
+    assert b is not None and 2048 * 2048 % b == 0
+    # huge K × huge hw: phase-unroll budget exceeded → None (fall back)
+    assert pallas_dia.pick_block_ring(1 << 24, 600, 1 << 22, 4) is None
+
+
 def test_pick_block():
     assert pallas_dia.pick_block(4096 * 1024, 5, 2048, 4) >= 1024
     b = pallas_dia.pick_block(5 * 1024, 27, 512, 8)
