@@ -45,6 +45,10 @@ def _load():
                 ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
                 ctypes.c_int64, ctypes.c_int, ctypes.c_uint64,
                 ctypes.POINTER(ctypes.c_int64)]
+            if hasattr(lib, "acg_partition_graph_ml"):
+                lib.acg_partition_graph_ml.restype = ctypes.c_int
+                lib.acg_partition_graph_ml.argtypes = \
+                    lib.acg_partition_graph.argtypes
             lib.acg_rcm_order.restype = ctypes.c_int
             lib.acg_rcm_order.argtypes = [
                 ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
@@ -84,14 +88,21 @@ def parse_coord(buf: bytes, nnz: int, has_values: bool):
 
 
 def partition_graph(rowptr: np.ndarray, colidx: np.ndarray, nparts: int,
-                    seed: int = 0) -> np.ndarray:
+                    seed: int = 0, multilevel: bool = True) -> np.ndarray:
+    """Native k-way edge-cut partition.  ``multilevel=True`` (default)
+    uses the METIS-style pipeline (HEM coarsening + weighted coarse
+    bisection + per-level FM-style refinement); False uses the flat
+    single-level recursive bisection."""
     lib = _load()
     assert lib is not None
     rowptr = np.ascontiguousarray(rowptr, dtype=np.int64)
     colidx = np.ascontiguousarray(colidx, dtype=np.int32)
     n = rowptr.shape[0] - 1
     part = np.empty(n, dtype=np.int64)
-    err = lib.acg_partition_graph(
+    fn = (lib.acg_partition_graph_ml
+          if multilevel and hasattr(lib, "acg_partition_graph_ml")
+          else lib.acg_partition_graph)
+    err = fn(
         rowptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         colidx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         n, nparts, seed,

@@ -98,6 +98,14 @@ def build_partitioned_matrix(A_full: sp.csr_matrix, part: np.ndarray,
 
     ``part`` is the (N,) partition vector (from partitioner.py or a
     reference-format partition file).
+
+    Fully vectorized: every step is an O(nnz) numpy sort / prefix-sum /
+    scatter — the same sort-based construction the reference implements
+    with radix sorts in C (graph.c:582-807 interface discovery,
+    graph.c:813-1529 subgraph assembly, symcsrmatrix.c:685-845 operator
+    split).  16.7M rows / 450M nnz (the BASELINE 256³ 27-point config)
+    builds in tens of seconds on one host core; the previous per-row
+    Python loops took hours at that scale.
     """
     A = A_full.tocsr()
     N = A.shape[0]
@@ -105,134 +113,116 @@ def build_partitioned_matrix(A_full: sp.csr_matrix, part: np.ndarray,
     P = int(part.max()) + 1 if N else 1
 
     rowptr, colidx, data = A.indptr, A.indices, A.data
+    nnz = int(colidx.shape[0])
+    rowlen = np.diff(rowptr)
+    row_of = np.repeat(np.arange(N, dtype=np.int64), rowlen)
+    rpart = part[row_of]                 # (nnz,) owner of each entry's row
+    cpart = part[colidx]                 # (nnz,) owner of each entry's col
+    offp = rpart != cpart                # off-part (interface) entries
 
     # --- classify interior/border, establish local order -------------------
-    rows_of = [np.where(part == p)[0] for p in range(P)]
-    # border row: any column owned elsewhere (graph.c:946-1133 classification)
-    row_owner = part
-    local_order: list[np.ndarray] = []
-    n_int = np.zeros(P, dtype=np.int64)
-    n_bor = np.zeros(P, dtype=np.int64)
-    for p in range(P):
-        rows = rows_of[p]
-        is_border = np.zeros(len(rows), dtype=bool)
-        for j, r in enumerate(rows):
-            cols = colidx[rowptr[r]:rowptr[r + 1]]
-            if np.any(row_owner[cols] != p):
-                is_border[j] = True
-        interior = rows[~is_border]
-        border = rows[is_border]
-        n_int[p], n_bor[p] = len(interior), len(border)
-        local_order.append(np.concatenate([interior, border]))
-
-    n_owned = np.array([len(r) for r in rows_of], dtype=np.int64)
+    # border row: any column owned elsewhere (graph.c:946-1133)
+    is_border = np.zeros(N, dtype=bool)
+    is_border[row_of[offp]] = True
+    # per part: interior rows first, then border, each ascending global id
+    order = np.lexsort((is_border, part))
+    n_owned = np.bincount(part, minlength=P)
+    n_bor = np.bincount(part[is_border], minlength=P)
+    n_int = n_owned - n_bor
+    starts = np.concatenate([[0], np.cumsum(n_owned)])
     L = _round_up(int(n_owned.max()), pad_to)
     rows_global = np.full((P, L), -1, dtype=np.int64)
-    global_to_local = np.full(N, -1, dtype=np.int64)
-    for p in range(P):
-        rows_global[p, : n_owned[p]] = local_order[p]
-        global_to_local[local_order[p]] = np.arange(n_owned[p])
+    loc = np.arange(N, dtype=np.int64) - starts[part[order]]
+    rows_global[part[order], loc] = order
+    global_to_local = np.empty(N, dtype=np.int64)
+    global_to_local[order] = loc
 
     # --- ghosts: off-part columns of owned rows, sorted (owner, global) ----
-    ghosts: list[np.ndarray] = []
-    for p in range(P):
-        rows = local_order[p]
-        cols = np.unique(np.concatenate(
-            [colidx[rowptr[r]:rowptr[r + 1]] for r in rows])) if len(rows) else np.array([], np.int64)
-        g = cols[row_owner[cols] != p]
-        order = np.lexsort((g, row_owner[g]))
-        ghosts.append(g[order])
-    n_ghost = np.array([len(g) for g in ghosts], dtype=np.int64)
+    # unique (requesting part, ghost row) pairs from the interface entries
+    pg = np.unique(rpart[offp] * np.int64(N) + colidx[offp])
+    gp_p = pg // N
+    gp_g = pg % N
+    gp_owner = part[gp_g]
+    o2 = np.lexsort((gp_g, gp_owner, gp_p))   # by (part, owner, global)
+    gp_p, gp_g, gp_owner = gp_p[o2], gp_g[o2], gp_owner[o2]
+    npairs = gp_p.shape[0]
+    n_ghost = np.bincount(gp_p, minlength=P)
     G = _round_up(max(int(n_ghost.max()), 1), pad_to)
+    gstarts = np.concatenate([[0], np.cumsum(n_ghost)])
+    gloc = np.arange(npairs, dtype=np.int64) - gstarts[gp_p]
     ghost_global = np.full((P, G), -1, dtype=np.int64)
-    for p in range(P):
-        ghost_global[p, : n_ghost[p]] = ghosts[p]
+    ghost_global[gp_p, gloc] = gp_g
 
     # --- halo plan: per-part send buffers (union of all requests) ----------
-    # exported[q] = sorted unique global rows of q requested by any other part
-    requested: list[set] = [set() for _ in range(P)]
-    for p in range(P):
-        for g in ghosts[p]:
-            requested[row_owner[g]].add(int(g))
-    exported = [np.array(sorted(s), dtype=np.int64) for s in requested]
-    n_send = np.array([len(e) for e in exported], dtype=np.int64)
+    # exported[q] = sorted unique global rows of q requested by any part
+    exp_g = np.unique(gp_g)                  # ascending; one owner each
+    exp_owner = part[exp_g]
+    eo = np.argsort(exp_owner, kind="stable")   # (owner, global) order
+    exp_g, exp_owner = exp_g[eo], exp_owner[eo]
+    n_send = np.bincount(exp_owner, minlength=P)
     S = _round_up(max(int(n_send.max()), 1), pad_to)
+    estarts = np.concatenate([[0], np.cumsum(n_send)])
+    eloc = np.arange(exp_g.shape[0], dtype=np.int64) - estarts[exp_owner]
     send_idx = np.zeros((P, S), dtype=np.int64)
-    slot_of: list[dict] = []
-    for q in range(P):
-        send_idx[q, : n_send[q]] = global_to_local[exported[q]]
-        slot_of.append({int(g): i for i, g in enumerate(exported[q])})
+    send_idx[exp_owner, eloc] = global_to_local[exp_g]
+    slot_global = np.full(N, -1, dtype=np.int64)  # ghost row → send-buf slot
+    slot_global[exp_g] = eloc
 
     ghost_src_dev = np.zeros((P, G), dtype=np.int64)
     ghost_src_slot = np.zeros((P, G), dtype=np.int64)
+    ghost_src_dev[gp_p, gloc] = gp_owner
+    ghost_src_slot[gp_p, gloc] = slot_global[gp_g]
     comm_matrix = np.zeros((P, P), dtype=np.int64)
-    for p in range(P):
-        for i, g in enumerate(ghosts[p]):
-            q = int(row_owner[g])
-            ghost_src_dev[p, i] = q
-            ghost_src_slot[p, i] = slot_of[q][int(g)]
-            comm_matrix[q, p] += 1
+    np.add.at(comm_matrix, (gp_owner, gp_p), 1)
 
     # --- pairwise (all-to-all) halo plan ------------------------------------
-    # pair_request[q][p] = sorted global ids q must send to p.  ghosts[p] is
-    # sorted by (owner, global), so p's ghosts from q form a contiguous
-    # sorted run — its position within the run is the pair-buffer slot
+    # ghosts are sorted by (part, owner, global), so each p←q edge is a
+    # contiguous run; position within the run is the pair-buffer slot
     # (the alltoallv sdispls/rdispls contract of halo.h:72-186, made static
     # by padding every edge to the max count M, per halo.c:883-891).
     M = _round_up(max(int(comm_matrix.max()), 1), pad_to)
     pair_send_idx = np.zeros((P, P, M), dtype=np.int64)
     ghost_src_pair_slot = np.zeros((P, G), dtype=np.int64)
-    for p in range(P):
-        gsd = ghost_src_dev[p, : n_ghost[p]]
-        for q in range(P):
-            sel = np.where(gsd == q)[0]
-            if sel.size == 0:
-                continue
-            ids = ghosts[p][sel]                     # sorted globals from q
-            pair_send_idx[q, p, : sel.size] = global_to_local[ids]
-            ghost_src_pair_slot[p, sel] = np.arange(sel.size)
+    if npairs:
+        runkey = gp_p * P + gp_owner
+        run_start = np.concatenate([[True], runkey[1:] != runkey[:-1]])
+        first_of_run = np.nonzero(run_start)[0]
+        run_idx = np.cumsum(run_start) - 1
+        pos = np.arange(npairs, dtype=np.int64) - first_of_run[run_idx]
+        pair_send_idx[gp_owner, gp_p, pos] = global_to_local[gp_g]
+        ghost_src_pair_slot[gp_p, gloc] = pos
 
     # --- local ELL operators -------------------------------------------------
     # Column renumbering: owned col → local slot; ghost col → ghost slot.
-    own_rows_ell, ghost_rows_ell = [], []
-    K_own = K_gst = 0
-    per_part = []
-    for p in range(P):
-        rows = local_order[p]
-        gslot = {int(g): i for i, g in enumerate(ghosts[p])}
-        own_entries, gst_entries = [], []
-        for li, r in enumerate(rows):
-            o, g = [], []
-            for k in range(rowptr[r], rowptr[r + 1]):
-                c, v = colidx[k], data[k]
-                if row_owner[c] == p:
-                    o.append((global_to_local[c], v))
-                else:
-                    g.append((gslot[int(c)], v))
-            own_entries.append(o)
-            gst_entries.append(g)
-        K_own = max(K_own, max((len(o) for o in own_entries), default=0))
-        K_gst = max(K_gst, max((len(g) for g in gst_entries), default=0))
-        per_part.append((own_entries, gst_entries))
+    # Per-entry slab index = rank among same-class entries of the row
+    # (exclusive prefix counts, the prefixsum.c construction).
+    owned = ~offp
+    Cown = np.concatenate([[0], np.cumsum(owned, dtype=np.int64)])
+    Cgst = np.concatenate([[0], np.cumsum(offp, dtype=np.int64)])
+    rank_own = Cown[:-1] - Cown[rowptr[:-1]][row_of] if nnz else Cown[:0]
+    rank_gst = Cgst[:-1] - Cgst[rowptr[:-1]][row_of] if nnz else Cgst[:0]
+    K_own = max(int((Cown[rowptr[1:]] - Cown[rowptr[:-1]]).max()) if N else 0, 1)
+    K_gst = max(int((Cgst[rowptr[1:]] - Cgst[rowptr[:-1]]).max()) if N else 0, 1)
 
-    K_gst = max(K_gst, 1)
-    K_own = max(K_own, 1)
+    li = global_to_local[row_of]
     own_colidx = np.zeros((P, K_own, L), dtype=np.int32)
+    own_colidx[:, :, :] = np.arange(L, dtype=np.int32)[None, None, :]
     own_vals = np.zeros((P, K_own, L), dtype=np.float64)
+    own_colidx[rpart[owned], rank_own[owned], li[owned]] = \
+        global_to_local[colidx[owned]].astype(np.int32)
+    own_vals[rpart[owned], rank_own[owned], li[owned]] = data[owned]
+
+    # ghost slot of (part, col): binary search in the (part, ghost) pairs
     ghost_colidx = np.zeros((P, K_gst, L), dtype=np.int32)
     ghost_vals = np.zeros((P, K_gst, L), dtype=np.float64)
-    for p in range(P):
-        own_entries, gst_entries = per_part[p]
-        # padding col targets: the row itself (inert: val 0)
-        own_colidx[p, :, :] = np.arange(L, dtype=np.int32)[None, :] % max(L, 1)
-        for li, o in enumerate(own_entries):
-            for k, (c, v) in enumerate(o):
-                own_colidx[p, k, li] = c
-                own_vals[p, k, li] = v
-        for li, g in enumerate(gst_entries):
-            for k, (c, v) in enumerate(g):
-                ghost_colidx[p, k, li] = c
-                ghost_vals[p, k, li] = v
+    if npairs:
+        pg_key = gp_p * np.int64(N) + gp_g
+        ko = np.argsort(pg_key)
+        q_key = rpart[offp] * np.int64(N) + colidx[offp]
+        gslot = gloc[ko][np.searchsorted(pg_key[ko], q_key)]
+        ghost_colidx[rpart[offp], rank_gst[offp], li[offp]] = \
+            gslot.astype(np.int32)
+        ghost_vals[rpart[offp], rank_gst[offp], li[offp]] = data[offp]
 
     return PartitionedMatrix(
         P=P, N=N, part=part,

@@ -35,25 +35,96 @@ def partition_contiguous(N: int, nparts: int) -> np.ndarray:
     return np.repeat(np.arange(nparts, dtype=np.int64), sizes)
 
 
+def _frontier_neighbours(rowptr, colidx, frontier):
+    """All neighbours of the frontier vertices (with repeats), vectorized:
+    gather indices built from rowptr spans (no per-vertex Python loop)."""
+    starts = rowptr[frontier]
+    lens = rowptr[frontier + 1] - starts
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=colidx.dtype)
+    # idx = concat(arange(starts[i], starts[i]+lens[i])) via cumsum trick
+    idx = np.ones(total, dtype=np.int64)
+    heads = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    idx[heads] = starts
+    idx[heads[1:]] -= starts[:-1] + lens[:-1] - 1
+    return colidx[np.cumsum(idx)]
+
+
 def _bfs_levels(rowptr, colidx, start, mask):
-    """BFS order and levels over the masked subgraph; returns visit order."""
+    """Level-synchronous BFS over the masked subgraph, vectorized per
+    level; returns (visit order, level array)."""
     n = rowptr.shape[0] - 1
     level = np.full(n, -1, dtype=np.int64)
-    order = []
-    frontier = [start]
+    order = [np.array([start], dtype=np.int64)]
+    frontier = order[0]
     level[start] = 0
     d = 0
-    while frontier:
-        order.extend(frontier)
-        nxt = []
-        for u in frontier:
-            for v in colidx[rowptr[u]:rowptr[u + 1]]:
-                if mask[v] and level[v] < 0:
-                    level[v] = d + 1
-                    nxt.append(int(v))
+    while True:
+        nbrs = _frontier_neighbours(rowptr, colidx, frontier)
+        nxt = np.unique(nbrs[mask[nbrs] & (level[nbrs] < 0)])
+        if nxt.size == 0:
+            break
+        level[nxt] = d + 1
+        order.append(nxt)
         frontier = nxt
         d += 1
-    return np.array(order, dtype=np.int64), level
+    return np.concatenate(order), level
+
+
+def refine_greedy(rowptr, colidx, part, nparts: int, passes: int = 4,
+                  tol: float = 0.03) -> np.ndarray:
+    """Greedy boundary refinement (FM-style gains, vectorized): per pass,
+    compute each boundary vertex's connectivity to every neighbouring part,
+    and move it to the best part when the gain is positive and balance
+    (±tol of the mean part size) allows.  The same objective as the native
+    kway_refine (acg_native.cpp) and metis.c's refinement stage."""
+    part = np.asarray(part, dtype=np.int64).copy()
+    n = rowptr.shape[0] - 1
+    rowlen = np.diff(rowptr)
+    row_of = np.repeat(np.arange(n, dtype=np.int64), rowlen)
+    sizes = np.bincount(part, minlength=nparts)
+    maxsz = int(n / nparts * (1 + tol)) + 1
+    for _ in range(passes):
+        cpart = part[colidx]
+        boundary_e = cpart != part[row_of]
+        bverts = np.unique(row_of[boundary_e])
+        if bverts.size == 0:
+            break
+        # connectivity counts per (boundary vertex, part) via sorted runs
+        sel = np.isin(row_of, bverts)
+        r, q = row_of[sel], cpart[sel]
+        key = r * nparts + q
+        ukey, cnt = np.unique(key, return_counts=True)
+        ur, uq = ukey // nparts, ukey % nparts
+        # per vertex: connectivity to own part and best other part
+        own = np.zeros(n, dtype=np.int64)
+        own_sel = uq == part[ur]
+        own[ur[own_sel]] = cnt[own_sel]
+        other = ~own_sel
+        if not np.any(other):
+            break
+        orr, oq, oc = ur[other], uq[other], cnt[other]
+        best = np.full(n, -1, dtype=np.int64)
+        bestc = np.zeros(n, dtype=np.int64)
+        o = np.lexsort((oc, orr))       # per vertex, max count last
+        np.maximum.at(bestc, orr[o], oc[o])
+        is_max = oc == bestc[orr]
+        best[orr[is_max]] = oq[is_max]  # any argmax
+        gain = bestc[bverts] - own[bverts]
+        cand = bverts[gain > 0]
+        # apply moves sequentially (tiny loop over boundary candidates)
+        moved = 0
+        for u in cand[np.argsort(-(gain[gain > 0]))]:
+            p, t = int(part[u]), int(best[u])
+            if sizes[t] + 1 <= maxsz and sizes[p] > 1:
+                part[u] = t
+                sizes[p] -= 1
+                sizes[t] += 1
+                moved += 1
+        if moved == 0:
+            break
+    return part
 
 
 def _pseudo_peripheral(rowptr, colidx, nodes, mask, rng):
@@ -116,7 +187,7 @@ def partition_bfs_recursive(rowptr: np.ndarray, colidx: np.ndarray,
         bisect(right, k - k_left, first_label + k_left)
 
     bisect(np.arange(n, dtype=np.int64), nparts, 0)
-    return part
+    return refine_greedy(rowptr, colidx, part, nparts)
 
 
 def edge_cut(rowptr: np.ndarray, colidx: np.ndarray, part: np.ndarray) -> int:

@@ -291,6 +291,394 @@ int acg_partition_graph(const int64_t* rowptr, const int32_t* colidx,
 }
 
 // ---------------------------------------------------------------------------
+// Multilevel k-way partitioner — the METIS capability (metis.c:118-190):
+// heavy-edge-matching coarsening, weighted recursive bisection at the
+// coarsest level, then uncoarsening with greedy k-way boundary refinement
+// (FM-style gains, vertex-weight balance) at every level.
+
+struct MLGraph {
+    std::vector<int64_t> rowptr;
+    std::vector<int32_t> colidx;
+    std::vector<int32_t> ewgt;   // contracted multi-edge weights
+    std::vector<int32_t> vwgt;   // contracted vertex sizes
+    int64_t n = 0;
+};
+
+// Heavy-edge matching: visit vertices in random order, match each
+// unmatched vertex with its unmatched neighbour of maximum edge weight.
+// cmap maps fine -> coarse ids (in first-occurrence order).
+static int64_t hem_match(const int64_t* rowptr, const int32_t* colidx,
+                         const int32_t* ewgt, int64_t n,
+                         std::mt19937_64& rng, std::vector<int64_t>& cmap) {
+    std::vector<int64_t> order(n);
+    for (int64_t i = 0; i < n; i++) order[i] = i;
+    std::shuffle(order.begin(), order.end(), rng);
+    std::vector<int64_t> match(n, -1);
+    for (int64_t oi = 0; oi < n; oi++) {
+        int64_t u = order[oi];
+        if (match[u] >= 0) continue;
+        int64_t best = -1;
+        int64_t bestw = -1;
+        for (int64_t e = rowptr[u]; e < rowptr[u + 1]; e++) {
+            int64_t v = colidx[e];
+            if (v == u || match[v] >= 0) continue;
+            int64_t w = ewgt ? ewgt[e] : 1;
+            if (w > bestw) { bestw = w; best = v; }
+        }
+        if (best >= 0) { match[u] = best; match[best] = u; }
+        else match[u] = u;
+    }
+    cmap.assign(n, -1);
+    int64_t nc = 0;
+    for (int64_t u = 0; u < n; u++) {
+        if (cmap[u] >= 0) continue;
+        cmap[u] = nc;
+        if (match[u] != u) cmap[match[u]] = nc;
+        nc++;
+    }
+    return nc;
+}
+
+// Contract the graph through cmap: coarse adjacency deduped per coarse row
+// with a stamp array (no sorting — O(nnz) per level, the metis approach).
+static MLGraph contract(const int64_t* rowptr, const int32_t* colidx,
+                        const int32_t* ewgt, const int32_t* vwgt,
+                        int64_t n, const std::vector<int64_t>& cmap,
+                        int64_t nc) {
+    MLGraph cg;
+    cg.n = nc;
+    cg.vwgt.assign(nc, 0);
+    // children of each coarse vertex via counting sort
+    std::vector<int64_t> cstart(nc + 1, 0), child(n);
+    for (int64_t u = 0; u < n; u++) cstart[cmap[u] + 1]++;
+    for (int64_t c = 0; c < nc; c++) cstart[c + 1] += cstart[c];
+    {
+        std::vector<int64_t> fill(cstart.begin(), cstart.end() - 1);
+        for (int64_t u = 0; u < n; u++) child[fill[cmap[u]]++] = u;
+    }
+    for (int64_t u = 0; u < n; u++)
+        cg.vwgt[cmap[u]] += vwgt ? vwgt[u] : 1;
+
+    std::vector<int64_t> mark(nc, -1);
+    // pass 1: count distinct coarse neighbours per coarse row
+    cg.rowptr.assign(nc + 1, 0);
+    for (int64_t cu = 0; cu < nc; cu++) {
+        int64_t cnt = 0;
+        for (int64_t ci = cstart[cu]; ci < cstart[cu + 1]; ci++) {
+            int64_t u = child[ci];
+            for (int64_t e = rowptr[u]; e < rowptr[u + 1]; e++) {
+                int64_t cv = cmap[colidx[e]];
+                if (cv == cu || mark[cv] == cu) continue;
+                mark[cv] = cu;
+                cnt++;
+            }
+        }
+        cg.rowptr[cu + 1] = cg.rowptr[cu] + cnt;
+    }
+    cg.colidx.assign(cg.rowptr[nc], 0);
+    cg.ewgt.assign(cg.rowptr[nc], 0);
+    // pass 2: fill with accumulated weights (fresh stamps via pos array)
+    std::fill(mark.begin(), mark.end(), -1);
+    std::vector<int64_t> pos(nc, 0);
+    for (int64_t cu = 0; cu < nc; cu++) {
+        int64_t out = cg.rowptr[cu];
+        for (int64_t ci = cstart[cu]; ci < cstart[cu + 1]; ci++) {
+            int64_t u = child[ci];
+            for (int64_t e = rowptr[u]; e < rowptr[u + 1]; e++) {
+                int64_t cv = cmap[colidx[e]];
+                if (cv == cu) continue;
+                int32_t w = ewgt ? ewgt[e] : 1;
+                if (mark[cv] != cu) {
+                    mark[cv] = cu;
+                    pos[cv] = out;
+                    cg.colidx[out] = (int32_t)cv;
+                    cg.ewgt[out] = w;
+                    out++;
+                } else {
+                    cg.ewgt[pos[cv]] += w;
+                }
+            }
+        }
+    }
+    return cg;
+}
+
+// Greedy k-way boundary refinement: move a vertex to the neighbouring part
+// with maximal connectivity gain if the balance constraint allows
+// (FM-style gains without the priority queue; a few passes suffice since
+// multilevel projection leaves only boundary-local errors).
+static void kway_refine(const int64_t* rowptr, const int32_t* colidx,
+                        const int32_t* ewgt, const int32_t* vwgt,
+                        int64_t n, int nparts, int64_t* part,
+                        int passes, double tol) {
+    std::vector<int64_t> pw(nparts, 0);
+    int64_t total = 0;
+    for (int64_t u = 0; u < n; u++) {
+        int64_t w = vwgt ? vwgt[u] : 1;
+        pw[part[u]] += w;
+        total += w;
+    }
+    int64_t maxw = (int64_t)((double)total / nparts * (1.0 + tol)) + 1;
+    std::vector<int64_t> conn(nparts, 0);
+    std::vector<int> seen;
+    seen.reserve(64);
+    for (int pass = 0; pass < passes; pass++) {
+        int64_t moved = 0;
+        for (int64_t u = 0; u < n; u++) {
+            int64_t p = part[u];
+            bool boundary = false;
+            for (int64_t e = rowptr[u]; e < rowptr[u + 1]; e++) {
+                if (part[colidx[e]] != p) { boundary = true; break; }
+            }
+            if (!boundary) continue;
+            // accumulate connectivity (only now, for boundary vertices)
+            seen.clear();
+            for (int64_t e = rowptr[u]; e < rowptr[u + 1]; e++) {
+                int64_t v = colidx[e];
+                if (v == u) continue;
+                int64_t q = part[v];
+                if (conn[q] == 0) seen.push_back((int)q);
+                conn[q] += ewgt ? ewgt[e] : 1;
+            }
+            int64_t best = -1, bestc = -1;
+            for (int q : seen) {
+                if (q == p) continue;
+                if (conn[q] > bestc ||
+                    (conn[q] == bestc && pw[q] < pw[best])) {
+                    bestc = conn[q];
+                    best = q;
+                }
+            }
+            int64_t cp = conn[p];
+            for (int q : seen) conn[q] = 0;
+            if (best < 0) continue;
+            int64_t w = vwgt ? vwgt[u] : 1;
+            int64_t gain = bestc - cp;
+            bool balance_ok = pw[best] + w <= maxw && pw[p] - w > 0;
+            bool better_balance = pw[p] > pw[best] + w;
+            if ((gain > 0 || (gain == 0 && better_balance)) && balance_ok) {
+                part[u] = best;
+                pw[p] -= w;
+                pw[best] += w;
+                moved++;
+            }
+        }
+        if (!moved) break;
+    }
+}
+
+// Weighted bisection of the (small) coarsest graph: BFS growing from a
+// pseudo-peripheral vertex until half the total vertex weight, plus
+// weighted greedy refinement via kway_refine with nparts=2 labels.
+static void wbisect(const MLGraph& g, std::vector<int64_t>& nodes, int k,
+                    int64_t first_label, int64_t* part, std::mt19937_64& rng) {
+    if (k == 1) {
+        for (int64_t u : nodes) part[u] = first_label;
+        return;
+    }
+    int k_left = k / 2;
+    int64_t total = 0;
+    for (int64_t u : nodes) total += g.vwgt[u];
+    int64_t target_left = (int64_t)llround((double)total * k_left / k);
+
+    std::vector<uint8_t> in_set(g.n, 0);
+    for (int64_t u : nodes) in_set[u] = 1;
+    std::vector<uint8_t> taken(g.n, 0);
+    std::vector<uint8_t> avail = in_set;
+    std::vector<int64_t> remaining = nodes;
+    int64_t grown = 0;
+    std::vector<int64_t> order;
+    std::vector<int32_t> level(g.n);
+    while (grown < target_left && !remaining.empty()) {
+        int64_t s = remaining[rng() % remaining.size()];
+        // pseudo-peripheral: two BFS sweeps
+        order.clear();
+        std::fill(level.begin(), level.end(), -1);
+        {
+            std::queue<int64_t> q;
+            q.push(s);
+            level[s] = 0;
+            while (!q.empty()) {
+                int64_t u = q.front(); q.pop();
+                order.push_back(u);
+                for (int64_t e = g.rowptr[u]; e < g.rowptr[u + 1]; e++) {
+                    int64_t v = g.colidx[e];
+                    if (avail[v] && level[v] < 0) { level[v] = level[u] + 1; q.push(v); }
+                }
+            }
+        }
+        int64_t far = order.empty() ? s : order.back();
+        order.clear();
+        std::fill(level.begin(), level.end(), -1);
+        {
+            std::queue<int64_t> q;
+            q.push(far);
+            level[far] = 0;
+            while (!q.empty()) {
+                int64_t u = q.front(); q.pop();
+                order.push_back(u);
+                for (int64_t e = g.rowptr[u]; e < g.rowptr[u + 1]; e++) {
+                    int64_t v = g.colidx[e];
+                    if (avail[v] && level[v] < 0) { level[v] = level[u] + 1; q.push(v); }
+                }
+            }
+        }
+        size_t take = 0;
+        for (; take < order.size() && grown < target_left; take++) {
+            taken[order[take]] = 1;
+            grown += g.vwgt[order[take]];
+        }
+        for (size_t i = 0; i < order.size(); i++) avail[order[i]] = 0;
+        std::vector<int64_t> rem2;
+        rem2.reserve(remaining.size());
+        for (int64_t u : remaining)
+            if (!taken[u] && level[u] < 0) rem2.push_back(u);
+        // unconsumed part of this component stays available for regrowth
+        for (size_t i = take; i < order.size(); i++) avail[order[i]] = 1;
+        for (int64_t u : remaining)
+            if (!taken[u] && avail[u] && level[u] >= 0) rem2.push_back(u);
+        remaining.swap(rem2);
+    }
+
+    // refine the 2-way split on the subgraph: label 0 = taken, 1 = rest
+    std::vector<int64_t> side(g.n, 0);
+    for (int64_t u : nodes) side[u] = taken[u] ? 0 : 1;
+    // temporary 2-part refinement restricted to the subgraph: build the
+    // subgraph explicitly (coarsest level is small, this is cheap)
+    {
+        std::vector<int64_t> lid(g.n, -1);
+        for (size_t i = 0; i < nodes.size(); i++) lid[nodes[i]] = (int64_t)i;
+        MLGraph sg;
+        sg.n = (int64_t)nodes.size();
+        sg.rowptr.assign(sg.n + 1, 0);
+        for (size_t i = 0; i < nodes.size(); i++) {
+            int64_t u = nodes[i];
+            int64_t cnt = 0;
+            for (int64_t e = g.rowptr[u]; e < g.rowptr[u + 1]; e++)
+                if (lid[g.colidx[e]] >= 0) cnt++;
+            sg.rowptr[i + 1] = sg.rowptr[i] + cnt;
+        }
+        sg.colidx.assign(sg.rowptr[sg.n], 0);
+        sg.ewgt.assign(sg.rowptr[sg.n], 0);
+        sg.vwgt.assign(sg.n, 0);
+        std::vector<int64_t> spart(sg.n);
+        for (size_t i = 0; i < nodes.size(); i++) {
+            int64_t u = nodes[i];
+            sg.vwgt[i] = g.vwgt[u];
+            spart[i] = side[u];
+            int64_t out = sg.rowptr[i];
+            for (int64_t e = g.rowptr[u]; e < g.rowptr[u + 1]; e++) {
+                int64_t lv = lid[g.colidx[e]];
+                if (lv < 0) continue;
+                sg.colidx[out] = (int32_t)lv;
+                sg.ewgt[out] = g.ewgt.empty() ? 1 : g.ewgt[e];
+                out++;
+            }
+        }
+        kway_refine(sg.rowptr.data(), sg.colidx.data(), sg.ewgt.data(),
+                    sg.vwgt.data(), sg.n, 2, spart.data(), 6, 0.02);
+        for (size_t i = 0; i < nodes.size(); i++) side[nodes[i]] = spart[i];
+    }
+
+    std::vector<int64_t> left, right;
+    for (int64_t u : nodes) (side[u] == 0 ? left : right).push_back(u);
+    if (left.empty() || right.empty()) {
+        // degenerate: fall back to a weight-balanced arbitrary split
+        left.clear(); right.clear();
+        int64_t acc = 0;
+        for (int64_t u : nodes) {
+            if (acc < target_left) { left.push_back(u); acc += g.vwgt[u]; }
+            else right.push_back(u);
+        }
+    }
+    wbisect(g, left, k_left, first_label, part, rng);
+    wbisect(g, right, k - k_left, first_label + k_left, part, rng);
+}
+
+int acg_partition_graph_ml(const int64_t* rowptr, const int32_t* colidx,
+                           int64_t n, int nparts, uint64_t seed,
+                           int64_t* part) {
+    if (nparts < 1 || n < 0) return -1;
+    if (nparts == 1 || n == 0) {
+        for (int64_t i = 0; i < n; i++) part[i] = 0;
+        return 0;
+    }
+    std::mt19937_64 rng(seed ? seed : 1);
+
+    // --- coarsen ----------------------------------------------------------
+    std::vector<MLGraph> levels;          // levels[0] = first COARSE graph
+    std::vector<std::vector<int64_t>> cmaps;
+    int64_t coarse_stop = std::max<int64_t>(20 * (int64_t)nparts, 256);
+    {
+        const int64_t* rp = rowptr;
+        const int32_t* ci = colidx;
+        const int32_t* ew = nullptr;
+        const int32_t* vw = nullptr;
+        int64_t cn = n;
+        while (cn > coarse_stop && (int)levels.size() < 48) {
+            std::vector<int64_t> cmap;
+            int64_t nc = hem_match(rp, ci, ew, cn, rng, cmap);
+            if (nc > (int64_t)(0.95 * (double)cn)) break;   // stalled
+            levels.push_back(contract(rp, ci, ew, vw, cn, cmap, nc));
+            cmaps.push_back(std::move(cmap));
+            MLGraph& g = levels.back();
+            rp = g.rowptr.data();
+            ci = g.colidx.data();
+            ew = g.ewgt.data();
+            vw = g.vwgt.data();
+            cn = g.n;
+        }
+    }
+
+    // --- initial partition at the coarsest level ---------------------------
+    std::vector<int64_t> cpart;
+    if (levels.empty()) {
+        cpart.assign(n, 0);
+        MLGraph g0;   // wrap the input as an MLGraph view (copies; n small)
+        g0.n = n;
+        g0.rowptr.assign(rowptr, rowptr + n + 1);
+        g0.colidx.assign(colidx, colidx + rowptr[n]);
+        g0.ewgt.assign(rowptr[n], 1);
+        g0.vwgt.assign(n, 1);
+        std::vector<int64_t> nodes(n);
+        for (int64_t i = 0; i < n; i++) nodes[i] = i;
+        wbisect(g0, nodes, nparts, 0, cpart.data(), rng);
+        kway_refine(rowptr, colidx, nullptr, nullptr, n, nparts,
+                    cpart.data(), 8, 0.03);
+        std::memcpy(part, cpart.data(), n * sizeof(int64_t));
+        return 0;
+    }
+    {
+        MLGraph& g = levels.back();
+        cpart.assign(g.n, 0);
+        std::vector<int64_t> nodes(g.n);
+        for (int64_t i = 0; i < g.n; i++) nodes[i] = i;
+        wbisect(g, nodes, nparts, 0, cpart.data(), rng);
+        kway_refine(g.rowptr.data(), g.colidx.data(), g.ewgt.data(),
+                    g.vwgt.data(), g.n, nparts, cpart.data(), 8, 0.03);
+    }
+
+    // --- uncoarsen + refine -------------------------------------------------
+    for (int64_t lev = (int64_t)levels.size() - 1; lev >= 0; lev--) {
+        const std::vector<int64_t>& cmap = cmaps[lev];
+        int64_t fine_n = (lev == 0) ? n : levels[lev - 1].n;
+        std::vector<int64_t> fpart(fine_n);
+        for (int64_t u = 0; u < fine_n; u++) fpart[u] = cpart[cmap[u]];
+        if (lev == 0) {
+            kway_refine(rowptr, colidx, nullptr, nullptr, n, nparts,
+                        fpart.data(), 2, 0.03);
+        } else {
+            MLGraph& g = levels[lev - 1];
+            kway_refine(g.rowptr.data(), g.colidx.data(), g.ewgt.data(),
+                        g.vwgt.data(), g.n, nparts, fpart.data(), 3, 0.03);
+        }
+        cpart.swap(fpart);
+    }
+    std::memcpy(part, cpart.data(), n * sizeof(int64_t));
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
 // Reverse Cuthill-McKee ordering: bandwidth reduction so general matrices
 // become banded (DIA-able) — the TPU substitute for gather-based SpMV.
 
