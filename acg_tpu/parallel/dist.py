@@ -65,34 +65,92 @@ def pad_stencil_vector(plan: StencilPlan, x: np.ndarray) -> np.ndarray:
 
 def stencil_spmv_local(plan: StencilPlan, vals_l: jnp.ndarray,
                        x_own: jnp.ndarray, axis: str = AXIS,
-                       backend: str = "xla") -> jnp.ndarray:
+                       backend: str = "xla",
+                       overlap: bool = True) -> jnp.ndarray:
     """Per-device banded SpMV with ring halo (runs inside shard_map).
 
-    vals_l: (K, L) local diagonal slabs, x_own: (L,).  The device's rows are
-    a contiguous slice of the global banded matrix, so its SpMV is the
+    vals_l: (K, L) local diagonal slabs, x_own: (L,).  The device's rows
+    are a contiguous slice of the global banded matrix, so its SpMV is the
     row-slice of the global DIA product over x_ext = [left|own|right].
-    The interior rows depend only on x_own, so XLA overlaps the two
-    ppermutes with interior compute.  ``backend="pallas"`` runs the local
-    product through the single-pass streaming kernel (one read of x_ext
-    instead of K shifted reads — wins for wide stencils / large L).
+
+    ``overlap=True`` (default) expresses the owned/interface operator
+    split of the reference (symcsrmatrix.c:760-845 + cgcuda.c:855-899):
+    the bulk product consumes x_own with ZERO boundaries — no data
+    dependency on the ppermutes — and the halo contributions are added
+    afterwards as O(hw)-row corrections to the first/last hw rows.  XLA's
+    latency-hiding scheduler is then free to run the collective-permute
+    concurrently with the owned product (with the old concatenated form
+    the kernel consumed the halo directly, forcing serialization).
+    tests/test_dist.py::test_interior_rows_independent_of_halo pins the
+    dependency structure.  Boundary-row sums reassociate ((halo terms) +
+    (own terms) instead of interleaved-by-offset), so results differ from
+    ``overlap=False`` by normal fp reassociation only.
+
+    ``backend="pallas"`` runs the owned product through the streaming
+    kernels of ops/pallas_dia.py (ring when profitable).
     """
-    hw = plan.hw
+    hw, L = plan.hw, plan.L
     left_ext, right_ext = stencil_halo(x_own, hw, plan.nparts, axis)
+    if not overlap:
+        if backend == "pallas":
+            from ..ops.pallas_dia import (dia_spmv_pallas, pallas_halo_width,
+                                          pick_block)
+            hw_p = pallas_halo_width(hw)
+            pad = jnp.zeros((hw_p - hw,), x_own.dtype)
+            x_ext = jnp.concatenate([pad, left_ext, x_own, right_ext, pad])
+            block = pick_block(L, len(plan.offsets), hw_p,
+                               vals_l.dtype.itemsize)
+            return dia_spmv_pallas(vals_l, x_ext, plan.offsets, hw_p, block)
+        x_ext = jnp.concatenate([left_ext, x_own, right_ext])
+        y = None
+        for k, off in enumerate(plan.offsets):
+            xk = lax.slice_in_dim(x_ext, hw + off, hw + off + L)
+            term = vals_l[k] * xk
+            y = term if y is None else y + term
+        return y
+
+    # ---- owned product: zero boundaries, independent of the halo ----------
     if backend == "pallas":
-        from ..ops.pallas_dia import (dia_spmv_pallas, pallas_halo_width,
-                                      pick_block)
-        hw_p = pallas_halo_width(hw)
-        pad = jnp.zeros((hw_p - hw,), x_own.dtype)
-        x_ext = jnp.concatenate([pad, left_ext, x_own, right_ext, pad])
-        block = pick_block(plan.L, len(plan.offsets), hw_p,
-                           vals_l.dtype.itemsize)
-        return dia_spmv_pallas(vals_l, x_ext, plan.offsets, hw_p, block)
-    x_ext = jnp.concatenate([left_ext, x_own, right_ext])
-    y = None
+        from ..ops.pallas_dia import (dia_spmv_pallas_np, dia_spmv_ring,
+                                      pallas_halo_width, pick_block,
+                                      pick_block_ring)
+        K = len(plan.offsets)
+        isz = vals_l.dtype.itemsize
+        block_r = pick_block_ring(L, K, hw, isz)
+        if block_r is not None:
+            y0 = dia_spmv_ring(vals_l, x_own, plan.offsets, block_r)
+        else:
+            hw_p = pallas_halo_width(hw)
+            y0 = dia_spmv_pallas_np(vals_l, x_own, plan.offsets, hw_p,
+                                    pick_block(L, K, hw_p, isz))
+    else:
+        z = jnp.zeros((hw,), x_own.dtype)
+        x_e0 = jnp.concatenate([z, x_own, z])
+        y0 = None
+        for k, off in enumerate(plan.offsets):
+            xk = lax.slice_in_dim(x_e0, hw + off, hw + off + L)
+            term = vals_l[k] * xk
+            y0 = term if y0 is None else y0 + term
+
+    # ---- interface corrections: the only consumers of the halo ------------
+    # row i < hw reads left_ext where i + off < 0; row i >= L-hw reads
+    # right_ext where i + off >= L; zero-padding makes the windows static.
+    zpad = jnp.zeros((hw,), x_own.dtype)
+    e_l = jnp.concatenate([left_ext, zpad])       # (2hw,)
+    e_r = jnp.concatenate([zpad, right_ext])      # (2hw,)
+    lcorr = rcorr = None
     for k, off in enumerate(plan.offsets):
-        xk = lax.slice_in_dim(x_ext, hw + off, hw + off + plan.L)
-        term = vals_l[k] * xk
-        y = term if y is None else y + term
+        if off < 0:
+            t = vals_l[k, :hw] * lax.slice_in_dim(e_l, hw + off, 2 * hw + off)
+            lcorr = t if lcorr is None else lcorr + t
+        elif off > 0:
+            t = vals_l[k, L - hw:] * lax.slice_in_dim(e_r, off, hw + off)
+            rcorr = t if rcorr is None else rcorr + t
+    y = y0
+    if lcorr is not None:
+        y = y.at[:hw].add(lcorr)
+    if rcorr is not None:
+        y = y.at[L - hw:].add(rcorr)
     return y
 
 
