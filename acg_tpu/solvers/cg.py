@@ -620,6 +620,34 @@ def _run_single(op, bp, x0p, opt: CGOptions, method: str, history: bool,
     return fn(op.spmv, bp, x0p, opt)
 
 
+# AOT-compiled program cache: solve() lowers/compiles explicitly (instead
+# of letting jit's implicit cache do it) so the optimized HLO text of the
+# exact executed program is retrievable — the per-op trace report joins
+# profiler events against it (utils/traceparse.py).  Keyed like jit would
+# key: backend, operator statics, shapes/dtypes, options.
+_COMPILED_CACHE: dict = {}
+_LAST_COMPILED = [None]
+
+
+def _compiled_run(op, bp, x0p, opt, method, history, vals_exact):
+    key = (jax.default_backend(), type(op).__name__, op.tree_flatten()[1],
+           bp.shape, str(bp.dtype), opt, method, history, vals_exact)
+    c = _COMPILED_CACHE.get(key)
+    if c is None:
+        c = _run_single.lower(op, bp, x0p, opt, method, history,
+                              vals_exact).compile()
+        _COMPILED_CACHE[key] = c
+    _LAST_COMPILED[0] = c
+    return c
+
+
+def last_compiled_text() -> str | None:
+    """Optimized HLO text of the most recent solve()'s program (None if no
+    solve ran yet).  Used by the CLI --trace report."""
+    c = _LAST_COMPILED[0]
+    return c.as_text() if c is not None else None
+
+
 def solve(op, b: np.ndarray, x0: np.ndarray | None = None,
           opt: CGOptions = CGOptions(), method: str = "cg",
           history: bool = False):
@@ -652,13 +680,12 @@ def solve(op, b: np.ndarray, x0: np.ndarray | None = None,
                 np.all(v == v.astype(np.float32).astype(v.dtype)))
             op._vals_exact = vals_exact
 
+    run = _compiled_run(op, bp, x0p, opt, method, history, vals_exact)
     if history:
-        x, scalars, hist = _run_single(op, bp, x0p, opt, method, True,
-                                       vals_exact)
+        x, scalars, hist = run(op, bp, x0p)
         hist = np.asarray(hist)
     else:
-        x, scalars = _run_single(op, bp, x0p, opt, method, False,
-                                 vals_exact)
+        x, scalars = run(op, bp, x0p)
         hist = None
 
     scalars = jax.device_get(scalars)

@@ -78,8 +78,14 @@ def analytic_op_stats(op, info: SolveInfo, method: str, nparts: int = 1,
 
 def format_report(op, info: SolveInfo, opt: CGOptions, method: str,
                   tsolve: float, nparts: int = 1,
-                  halo_bytes_per_exchange: int = 0, indent: int = 0) -> str:
-    """The acgsolver_fwrite report (cg.c:665-845 layout)."""
+                  halo_bytes_per_exchange: int = 0, indent: int = 0,
+                  measured: dict | None = None) -> str:
+    """The acgsolver_fwrite report (cg.c:665-845 layout).
+
+    ``measured``: optional {row: (seconds, count)} from a jax.profiler
+    trace (utils/traceparse.measured_op_times) — when present, per-op
+    times and GB/s are MEASURED (the reference's CUDA-event profiling,
+    cgcuda.c:1057-1095) instead of estimated from byte shares."""
     pad = " " * indent
     stats = analytic_op_stats(op, info, method, nparts,
                               halo_bytes_per_exchange, tsolve)
@@ -92,11 +98,21 @@ def format_report(op, info: SolveInfo, opt: CGOptions, method: str,
     a(f"{pad}total flops: {1e-9 * nflops:.3f} Gflop")
     a(f"{pad}total flop rate: {1e-9 * nflops / tsolve if tsolve > 0 else 0:.3f} Gflop/s")
     a(f"{pad}total solver time: {tsolve:.6f} seconds")
-    a(f"{pad}performance breakdown (times est. from byte shares of the fused program):")
+    if measured:
+        a(f"{pad}performance breakdown (times MEASURED from the profiler "
+          f"trace; counts/bytes analytic):")
+    else:
+        a(f"{pad}performance breakdown (times est. from byte shares of the fused program):")
     for name in ("gemv", "dot", "nrm2", "axpy", "allreduce", "halo"):
         o = stats[name]
-        a(f"{pad}  {name}: {o.t_est:.6f} seconds {o.n} times {o.nbytes} B "
-          f"{o.gbps:.3f} GB/s")
+        if measured and name in measured:
+            t, _nev = measured[name]
+            gbps = 1e-9 * o.nbytes / t if t > 0 else 0.0
+            a(f"{pad}  {name}: {t:.6f} seconds {o.n} times {o.nbytes} B "
+              f"{gbps:.3f} GB/s (measured)")
+        else:
+            a(f"{pad}  {name}: {o.t_est:.6f} seconds {o.n} times {o.nbytes} B "
+              f"{o.gbps:.3f} GB/s{' (est.)' if measured else ''}")
     a(f"{pad}last solve:")
     a(f"{pad}  stopping criterion:")
     a(f"{pad}    maximum iterations: {opt.max_iterations}")

@@ -1,0 +1,58 @@
+"""Measured per-op times from profiler traces (the reference's CUDA-event
+profiling, cgcuda.c:585-610/1057-1095, re-expressed as trace-join):
+profiler events keyed by hlo_op joined against the executed program's
+optimized HLO metadata (named scopes acg.spmv/acg.dot/...)."""
+
+import numpy as np
+import pytest
+
+from acg_tpu.core.dia import DiaOperator
+from acg_tpu.io.generators import poisson2d_dia
+from acg_tpu.solvers.cg import CGOptions, last_compiled_text, solve
+from acg_tpu.solvers.stats import format_report
+from acg_tpu.utils.traceparse import (hlo_scope_map, measured_op_times,
+                                      parse_trace_events)
+
+
+@pytest.fixture(scope="module")
+def traced_solve(tmp_path_factory):
+    import jax
+    tdir = str(tmp_path_factory.mktemp("trace"))
+    offsets, vals = poisson2d_dia(32)
+    op = DiaOperator.from_arrays(offsets, vals, pad_to=128)
+    b = np.random.default_rng(0).standard_normal(op.N)
+    opt = CGOptions(max_iterations=40, residual_rtol=0.0)
+    solve(op, b, opt=opt, method="pipelined")          # compile outside
+    with jax.profiler.trace(tdir):
+        x, info = solve(op, b, opt=opt, method="pipelined")
+    return tdir, op, info, opt
+
+
+def test_scope_map_from_compiled_text(traced_solve):
+    text = last_compiled_text()
+    assert text is not None
+    m = hlo_scope_map(text)
+    rows = set(m.values())
+    assert "gemv" in rows    # acg.spmv scope survived into optimized HLO
+    assert "dot" in rows or "axpy" in rows
+
+
+def test_trace_events_parse(traced_solve):
+    tdir, *_ = traced_solve
+    ev = parse_trace_events(tdir)
+    assert ev, "no hlo_op events found in trace"
+    total = sum(d for d, _ in ev.values())
+    assert total > 0
+
+
+def test_measured_rows_and_report(traced_solve):
+    tdir, op, info, opt = traced_solve
+    text = last_compiled_text()
+    measured = measured_op_times(tdir, text)
+    assert "gemv" in measured
+    t, n = measured["gemv"]
+    assert t > 0 and n >= info.niterations   # one SpMV event per iteration
+    report = format_report(op, info, opt, "acg-pipelined", tsolve=1.0,
+                           measured=measured)
+    assert "MEASURED" in report
+    assert "(measured)" in report
