@@ -59,7 +59,17 @@ def solve_jax_ref(op, b: np.ndarray, x0: np.ndarray | None = None,
     x, _ = jspla.cg(op.spmv, bp, x0=x0p, tol=tol, atol=atol,
                     maxiter=opt.max_iterations)
     xh = np.asarray(x[:N])
+    # jax.scipy's cg returns no convergence info (its second output is
+    # always None) — derive it from the actual residual, the same
+    # criterion the library loop used, so the oracle verifies something
+    # (the reference's PETSc adapter reports KSP's true reason/its
+    # iteration count, cgpetsc.c).
     bn = float(np.linalg.norm(b))
-    info = SolveInfo(niterations=-1, converged=True, bnrm2=bn,
-                     r0nrm2=bn, rnrm2=float("nan"))
+    r = np.asarray(bp - op.spmv(x))[:N]
+    rn = float(np.linalg.norm(r))
+    r0 = float(np.linalg.norm(np.asarray(bp - op.spmv(x0p))[:N]))
+    converged = bool(rn <= max(tol * bn, atol))
+    info = SolveInfo(niterations=-1, converged=converged, bnrm2=bn,
+                     r0nrm2=r0, rnrm2=rn,
+                     x0nrm2=float(np.linalg.norm(np.asarray(x0p[:N]))))
     return xh, info

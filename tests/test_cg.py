@@ -197,3 +197,23 @@ def test_f32_precision_floor(rng):
     x, info = solve(op32, b, opt=opt, method="pipelined")
     assert not info.converged          # f32 stalls well above 1e-10
     assert info.rnrm2 / info.bnrm2 > 1e-9
+
+
+def test_jax_ref_honest_convergence_info(rng):
+    """solve_jax_ref must derive converged/rnrm2 from the actual residual:
+    a capped solve that cannot reach tolerance reports converged=False
+    (round-1 fabricated converged=True unconditionally)."""
+    from acg_tpu.solvers.reference import solve_jax_ref
+
+    op, A, N = poisson_op_and_csr(16)
+    xstar, b = manufactured(rng, A, N)
+    capped = CGOptions(max_iterations=3, residual_rtol=1e-12)
+    x, info = solve_jax_ref(op, b, opt=capped)
+    assert not info.converged
+    assert np.isfinite(info.rnrm2) and info.rnrm2 > 1e-12 * info.bnrm2
+    # and a generous budget reports converged with a real residual
+    x, info = solve_jax_ref(op, b, opt=CGOptions(max_iterations=1000,
+                                                 residual_rtol=1e-8))
+    assert info.converged
+    assert info.rnrm2 <= 1e-8 * info.bnrm2
+    assert np.linalg.norm(x - xstar) < 1e-6
