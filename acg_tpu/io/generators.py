@@ -108,6 +108,30 @@ def dia_to_coo(offsets: np.ndarray, vals: np.ndarray,
     return rowidx[order], colidx[order], a[order], N
 
 
+def dia_to_csr(offsets: np.ndarray, vals: np.ndarray):
+    """Expand a DIA operator directly to a scipy CSR matrix, vectorized.
+
+    Avoids the COO detour (dia_to_coo + coo→csr re-sorts all nnz — minutes
+    at the 450M-nnz BASELINE 256³ scale); here entries are emitted already
+    in (row, col) order because offsets are ascending: one boolean-mask
+    pass over the (N, K) view.  Explicit zeros (boundary-masked slots) are
+    dropped.  Peak extra memory ≈ (K·N) int64 + outputs."""
+    import scipy.sparse as sp
+
+    K, N = vals.shape
+    offsets = np.asarray(offsets, dtype=np.int64)
+    assert np.all(np.diff(offsets) > 0), "offsets must be strictly ascending"
+    cols = offsets[None, :] + np.arange(N, dtype=np.int64)[:, None]  # (N, K)
+    vt = np.ascontiguousarray(vals.T)                                # (N, K)
+    valid = (vt != 0) & (cols >= 0) & (cols < N)
+    rowlen = valid.sum(axis=1)
+    rowptr = np.zeros(N + 1, dtype=np.int64)
+    np.cumsum(rowlen, out=rowptr[1:])
+    colidx = cols[valid]          # row-major scan ⇒ sorted by (row, col)
+    data = vt[valid]
+    return sp.csr_matrix((data, colidx, rowptr), shape=(N, N))
+
+
 def poisson2d_mtx(n: int, symmetric: bool = False) -> MtxFile:
     """2-D Poisson as a Matrix Market file object.
 
