@@ -146,7 +146,9 @@ class DiaOperator:
             extra_np = 2 * hw_p / block_np + (2 if hw_p > block_np else 0)
             if block_r is not None:
                 m = -(-hw // block_r)
-                if 1.0 / (2 * m + 2) < extra_np:
+                # <= : at equal estimated traffic the ring measured faster
+                # (172 vs 192 us on 2-D n=2048 — deeper DMA pipelining)
+                if 1.0 / (2 * m + 2) <= extra_np:
                     return dia_spmv_ring(self.vals, x, self.offsets, block_r)
             return dia_spmv_pallas_np(self.vals, x, self.offsets, hw_p,
                                       block_np)

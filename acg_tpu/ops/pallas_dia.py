@@ -446,7 +446,11 @@ def _dia_ring_kernel(offsets, m, B, nb, x_hbm, vals_ref, y_ref, ring, sem):
         def _(p=p):
             win.prefetch(i, p)
             win.wait(i, p)
-            # compute: all slice starts static for this phase
+            # compute: all slice starts static for this phase.  (A
+            # dual-accumulator variant was measured IDENTICAL at K=27 —
+            # 3038 both ways — the limiter is the misaligned-slice load
+            # handling, not the add chain; the single accumulator keeps
+            # bit-equality with the XLA shifted-slice order.)
             acc = None
             for k, off in enumerate(offsets):
                 term = vals_ref[k, :] * win.slice_at(p, off)

@@ -50,7 +50,12 @@ DIM = int(os.environ.get("ACG_BENCH_DIM", "2"))         # 2 or 3
 STENCIL = int(os.environ.get("ACG_BENCH_STENCIL", "0"))  # 0=default (5 / 7)
 BACKEND = os.environ.get("ACG_BENCH_BACKEND", "pallas")  # xla | pallas
 DOT = os.environ.get("ACG_BENCH_DOT", "mixed")           # float64|float32|mixed
-FUSED = os.environ.get("ACG_BENCH_FUSED", "0") == "1"    # one-pass iteration kernel
+# one-pass fused iteration kernel: "auto" (default) picks it for narrow
+# stencils where it wins (measured round 2, ring kernels: 2-D K=5 fused
+# 495.6 vs unfused 528 us/iter; 3-D K=27 fused 5087 vs unfused 4977 —
+# at wide K the kernel is VPU-bound and the fused extra vector work
+# costs more than the saved traffic)
+FUSED_ENV = os.environ.get("ACG_BENCH_FUSED", "auto")    # auto | 0 | 1
 DF64 = os.environ.get("ACG_BENCH_DF64", "0") == "1"      # double-f32 (f64-parity) path
 if DF64:
     DTYPE = "float64"   # the df64 path consumes an f64 operator/vectors
@@ -77,6 +82,7 @@ def main() -> None:
         name = f"poisson3d_n{N_GRID}_{STENCIL or 7}pt"
     op = DiaOperator.from_arrays(offsets, vals, pad_to=1024, backend=BACKEND)
     N, Np, K = op.N, op.Np, len(op.offsets)
+    FUSED = (K <= 12) if FUSED_ENV == "auto" else FUSED_ENV == "1"
     rng = np.random.default_rng(0)
     xstar = rng.standard_normal(N)
     xstar /= np.linalg.norm(xstar)
