@@ -109,9 +109,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=("none", "xla", "mpi", "nccl", "nvshmem"),
                    help="none, or xla (mpi/nccl/nvshmem are accepted aliases) [none]")
     g.add_argument("--halo", default="allgather",
-                   choices=("allgather", "alltoall"),
+                   choices=("allgather", "alltoall", "ragged"),
                    help="halo exchange strategy for general partitions "
-                        "[allgather]")
+                        "(ragged = exact wire volume via ragged-all-to-all; "
+                        "TPU only, XLA:CPU has no thunk) [allgather]")
     g = p.add_argument_group("verification options")
     g.add_argument("--manufactured-solution", action="store_true",
                    help="use a manufactured solution and right-hand side")

@@ -84,3 +84,28 @@ def alltoall_halo(x_own: jnp.ndarray, pair_send_idx: jnp.ndarray,
     table = lax.all_to_all(sendbuf, axis, split_axis=0,
                            concat_axis=0, tiled=True)    # (P, M) per-sender
     return table[ghost_src_dev, ghost_src_pair_slot]     # (G,) unpack
+
+
+def ragged_halo(x_own: jnp.ndarray, send_idx: jnp.ndarray,
+                input_offsets: jnp.ndarray, send_sizes: jnp.ndarray,
+                output_offsets: jnp.ndarray, recv_sizes: jnp.ndarray,
+                G: int, axis: str = AXIS) -> jnp.ndarray:
+    """Exact-wire-volume halo via `lax.ragged_all_to_all`.
+
+    The true alltoallv of halo.c:687-769, without the max-edge padding the
+    static `alltoall_halo` pays: each p→q edge ships exactly
+    comm_matrix[p, q] words.  ``send_idx`` (Sr,) packs this device's
+    exports grouped by destination (ascending global within each run);
+    because the ghost list is sorted (owner, global), the received
+    segments land contiguously in ghost order — the collective's output
+    IS the ghost buffer (no unpack).  Padded ghost slots keep the zero
+    the output buffer was initialised with (inert by the zero-value
+    invariant).
+
+    Note: XLA:CPU has no ragged-all-to-all thunk (UNIMPLEMENTED at
+    runtime) — callers on the virtual CPU mesh must fall back; on TPU
+    this is the bandwidth-optimal general halo."""
+    sendbuf = jnp.take(x_own, send_idx, axis=0)          # (Sr,) pack
+    out = jnp.zeros((G,), x_own.dtype)
+    return lax.ragged_all_to_all(sendbuf, out, input_offsets, send_sizes,
+                                 output_offsets, recv_sizes, axis_name=axis)

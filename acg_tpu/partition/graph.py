@@ -64,6 +64,18 @@ class PartitionedMatrix:
     M: int                        # padded max entries on any p→q edge
     pair_send_idx: np.ndarray     # (P, P, M) sender p, row q = local idx to pack
     ghost_src_pair_slot: np.ndarray  # (P, G) slot within the (src→p) pair row
+    # halo plan (ragged all-to-all: exact wire volume, halo.c:687-769's
+    # alltoallv without the max-edge padding).  Sender p packs, per
+    # destination q, the requested rows ascending by global id; receiver
+    # q's ghost list is sorted (owner, global) so the received segments
+    # land contiguously IN GHOST ORDER — the exchange writes the ghost
+    # buffer directly, no unpack.
+    Sr: int                       # padded max total packed sends per device
+    ragged_send_idx: np.ndarray   # (P, Sr) local owned idx, grouped by dest
+    ragged_input_offsets: np.ndarray   # (P, P) [p,q] = start of q's data in p's sendbuf
+    ragged_send_sizes: np.ndarray      # (P, P) [p,q] = comm_matrix[p,q]
+    ragged_output_offsets: np.ndarray  # (P, P) [p,q] = where p's run starts in q's ghosts
+    ragged_recv_sizes: np.ndarray      # (P, P) [p,q] = comm_matrix[q,p]
     # local operators (ELL slabs, columns in local numbering)
     own_colidx: np.ndarray        # (P, K_own, L) cols into owned vector
     own_vals: np.ndarray          # (P, K_own, L)
@@ -192,6 +204,28 @@ def build_partitioned_matrix(A_full: sp.csr_matrix, part: np.ndarray,
         pair_send_idx[gp_owner, gp_p, pos] = global_to_local[gp_g]
         ghost_src_pair_slot[gp_p, gloc] = pos
 
+    # --- ragged all-to-all halo plan ----------------------------------------
+    # sender-side pack order: (owner, requester, global) — each sender's
+    # buffer is its destinations' runs concatenated, ascending global
+    # within a run; this matches the receiver's (owner, global)-sorted
+    # ghost list, so received segments ARE the ghost runs.
+    n_send_tot = comm_matrix.sum(axis=1)          # packed sends per sender
+    Sr = _round_up(max(int(n_send_tot.max()) if P else 0, 1), pad_to)
+    ragged_send_idx = np.zeros((P, Sr), dtype=np.int64)
+    ragged_input_offsets = np.zeros((P, P), dtype=np.int64)
+    ragged_output_offsets = np.zeros((P, P), dtype=np.int64)
+    if npairs:
+        o3 = np.lexsort((gp_g, gp_p, gp_owner))   # by (owner, dest, global)
+        sg, sp_, sowner = gp_g[o3], gp_p[o3], gp_owner[o3]
+        sstarts = np.concatenate([[0], np.cumsum(n_send_tot)])
+        spos = np.arange(npairs, dtype=np.int64) - sstarts[sowner]
+        ragged_send_idx[sowner, spos] = global_to_local[sg]
+        # input offsets: exclusive prefix over destinations, per sender row
+        ragged_input_offsets[:, 1:] = np.cumsum(comm_matrix, axis=1)[:, :-1]
+        # output offsets: where sender p's run starts in q's ghost buffer =
+        # sum over owners o < p of comm_matrix[o, q]
+        ragged_output_offsets[1:, :] = np.cumsum(comm_matrix, axis=0)[:-1, :]
+
     # --- local ELL operators -------------------------------------------------
     # Column renumbering: owned col → local slot; ghost col → ghost slot.
     # Per-entry slab index = rank among same-class entries of the row
@@ -234,6 +268,11 @@ def build_partitioned_matrix(A_full: sp.csr_matrix, part: np.ndarray,
         comm_matrix=comm_matrix,
         M=M, pair_send_idx=pair_send_idx,
         ghost_src_pair_slot=ghost_src_pair_slot,
+        Sr=Sr, ragged_send_idx=ragged_send_idx,
+        ragged_input_offsets=ragged_input_offsets,
+        ragged_send_sizes=comm_matrix.copy(),
+        ragged_output_offsets=ragged_output_offsets,
+        ragged_recv_sizes=comm_matrix.T.copy(),
         own_colidx=own_colidx, own_vals=own_vals,
         ghost_colidx=ghost_colidx, ghost_vals=ghost_vals,
     )

@@ -33,7 +33,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ..parallel.dist import (general_spmv_with_ghosts, make_stencil_plan,
                              pad_stencil_operand, pad_stencil_vector,
                              stencil_spmv_local)
-from ..parallel.halo import allgather_halo, alltoall_halo
+from ..parallel.halo import allgather_halo, alltoall_halo, ragged_halo
 from ..parallel.mesh import AXIS, make_mesh
 from ..partition.graph import PartitionedMatrix, gather_vector, scatter_vector
 from .cg import (CGOptions, SolveInfo, cg_history_scan, cg_loop,
@@ -175,7 +175,7 @@ def solve_dist_stencil(offsets, vals: np.ndarray, b: np.ndarray,
 # General partitioned path (any partition vector)
 
 
-HALO_METHODS = ("allgather", "alltoall")
+HALO_METHODS = ("allgather", "alltoall", "ragged")
 
 
 def solve_dist_general(pm: PartitionedMatrix, b: np.ndarray,
@@ -200,15 +200,28 @@ def solve_dist_general(pm: PartitionedMatrix, b: np.ndarray,
     own_v = jax.device_put(pm.own_vals.astype(vdtype), stk)
     gst_ci = jax.device_put(pm.ghost_colidx, stk)
     gst_v = jax.device_put(pm.ghost_vals.astype(vdtype), stk)
-    g_dev = jax.device_put(pm.ghost_src_dev.astype(np.int32), stk)
     if halo == "alltoall":
-        send_idx = jax.device_put(pm.pair_send_idx.astype(np.int32), stk)
-        g_slot = jax.device_put(pm.ghost_src_pair_slot.astype(np.int32), stk)
+        hargs_h = [pm.pair_send_idx.astype(np.int32),
+                   pm.ghost_src_dev.astype(np.int32),
+                   pm.ghost_src_pair_slot.astype(np.int32)]
         halo_fn = alltoall_halo
+    elif halo == "ragged":
+        # exact wire volume; XLA:CPU has no thunk — callers on the
+        # virtual mesh get a runtime UNIMPLEMENTED (see dryrun skip)
+        G = pm.G
+        hargs_h = [pm.ragged_send_idx.astype(np.int32),
+                   pm.ragged_input_offsets.astype(np.int32),
+                   pm.ragged_send_sizes.astype(np.int32),
+                   pm.ragged_output_offsets.astype(np.int32),
+                   pm.ragged_recv_sizes.astype(np.int32)]
+        halo_fn = lambda xx, si, io, ss, oo, rs, axis: \
+            ragged_halo(xx, si, io, ss, oo, rs, G, axis)
     else:
-        send_idx = jax.device_put(pm.send_idx.astype(np.int32), stk)
-        g_slot = jax.device_put(pm.ghost_src_slot.astype(np.int32), stk)
+        hargs_h = [pm.send_idx.astype(np.int32),
+                   pm.ghost_src_dev.astype(np.int32),
+                   pm.ghost_src_slot.astype(np.int32)]
         halo_fn = allgather_halo
+    hargs = [jax.device_put(h, stk) for h in hargs_h]
 
     b_l = jax.device_put(scatter_vector(pm, np.asarray(b)).astype(vdtype), stk)
     x0_l = jax.device_put(
@@ -219,15 +232,16 @@ def solve_dist_general(pm: PartitionedMatrix, b: np.ndarray,
     run = _RUN_CACHE.get(key)
     if run is None:
         fn = _loop_fns(method, history)
+        nh = len(hargs)
 
-        def local(oc, ov, gc, gv, si, gd, gs, b_, x0_):
+        def local(oc, ov, gc, gv, b_, x0_, *h):
             # squeeze the per-device leading axis of stacked arrays
             oc, ov, gc, gv = oc[0], ov[0], gc[0], gv[0]
-            si, gd, gs = si[0], gd[0], gs[0]
             b_, x0_ = b_[0], x0_[0]
+            h = tuple(a[0] for a in h)
 
             def spmv(xx):
-                ghosts = halo_fn(xx, si, gd, gs, AXIS)
+                ghosts = halo_fn(xx, *h, AXIS)
                 return general_spmv_with_ghosts(oc, ov, gc, gv, xx, ghosts)
 
             red = lambda v: lax.psum(v, AXIS)
@@ -241,13 +255,13 @@ def solve_dist_general(pm: PartitionedMatrix, b: np.ndarray,
         scalar_spec = dict(niterations=P(), converged=P(), bnrm2sqr=P(),
                            r0nrm2sqr=P(), rnrm2sqr=P(), x0nrm2sqr=P(),
                            dxnrm2sqr=P())
-        in_specs = tuple([P(AXIS)] * 9)
+        in_specs = tuple([P(AXIS)] * (6 + nh))
         out_specs = (P(AXIS), scalar_spec) if not history else \
             (P(AXIS), scalar_spec, P())
         run = jax.jit(shard_map(local, mesh=mesh, in_specs=in_specs,
                                 out_specs=out_specs, check_vma=False))
         _RUN_CACHE[key] = run
-    out = run(own_ci, own_v, gst_ci, gst_v, send_idx, g_dev, g_slot, b_l, x0_l)
+    out = run(own_ci, own_v, gst_ci, gst_v, b_l, x0_l, *hargs)
     if history:
         xl, scalars, hist = out
         info = _info_from_scalars(scalars, hist)

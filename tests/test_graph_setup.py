@@ -93,6 +93,25 @@ def build_loops(A_full, part, pad_to=8):
             pair_send_idx[q, p, : sel.size] = global_to_local[ids]
             ghost_src_pair_slot[p, sel] = np.arange(sel.size)
 
+    # ragged plan: sender packs per destination, ascending global
+    Sr = _round_up(max(int(comm_matrix.sum(axis=1).max()), 1), pad_to)
+    ragged_send_idx = np.zeros((P, Sr), dtype=np.int64)
+    ragged_input_offsets = np.zeros((P, P), dtype=np.int64)
+    ragged_output_offsets = np.zeros((P, P), dtype=np.int64)
+    for p in range(P):                     # sender
+        pos = 0
+        for q in range(P):                 # destination
+            ragged_input_offsets[p, q] = pos
+            gq = ghosts[q]
+            ids = gq[ghost_src_dev[q, : n_ghost[q]] == p]
+            ragged_send_idx[p, pos:pos + len(ids)] = global_to_local[ids]
+            pos += len(ids)
+    for q in range(P):                     # receiver
+        off = 0
+        for p in range(P):                 # sender
+            ragged_output_offsets[p, q] = off
+            off += comm_matrix[p, q]
+
     K_own = K_gst = 0
     per_part = []
     for p in range(P):
@@ -140,6 +159,11 @@ def build_loops(A_full, part, pad_to=8):
         comm_matrix=comm_matrix,
         M=M, pair_send_idx=pair_send_idx,
         ghost_src_pair_slot=ghost_src_pair_slot,
+        Sr=Sr, ragged_send_idx=ragged_send_idx,
+        ragged_input_offsets=ragged_input_offsets,
+        ragged_send_sizes=comm_matrix.copy(),
+        ragged_output_offsets=ragged_output_offsets,
+        ragged_recv_sizes=comm_matrix.T.copy(),
         own_colidx=own_colidx, own_vals=own_vals,
         ghost_colidx=ghost_colidx, ghost_vals=ghost_vals,
     )
@@ -157,6 +181,8 @@ FIELDS = ["P", "N", "L", "G", "S", "M", "part", "rows_global",
           "ghost_global", "n_ghost", "send_idx", "n_send",
           "ghost_src_dev", "ghost_src_slot", "comm_matrix",
           "pair_send_idx", "ghost_src_pair_slot",
+          "Sr", "ragged_send_idx", "ragged_input_offsets",
+          "ragged_send_sizes", "ragged_output_offsets", "ragged_recv_sizes",
           "own_colidx", "own_vals", "ghost_colidx", "ghost_vals"]
 
 

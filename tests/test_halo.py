@@ -154,3 +154,62 @@ def test_alltoall_two_parts(rng):
                                  halo="alltoall")
     assert info.converged
     assert np.linalg.norm(x - xstar) < 1e-8
+
+
+def _simulate_ragged(pm, x_l):
+    """Host-side execution of the ragged plan: what lax.ragged_all_to_all
+    would deliver on hardware (XLA:CPU has no thunk, so the plan is
+    verified by simulation; the dryrun reports the hardware path as
+    skipped on CPU)."""
+    P_ = pm.P
+    ghosts = np.zeros((P_, pm.G), dtype=x_l.dtype)
+    for p in range(P_):                       # sender
+        sendbuf = x_l[p][pm.ragged_send_idx[p]]
+        for q in range(P_):                   # receiver
+            n = pm.ragged_send_sizes[p, q]
+            if n == 0:
+                continue
+            src = pm.ragged_input_offsets[p, q]
+            dst = pm.ragged_output_offsets[p, q]
+            ghosts[q, dst:dst + n] = sendbuf[src:src + n]
+    return ghosts
+
+
+def test_ragged_plan_matches_allgather_ghosts(rng):
+    """The ragged plan, executed per its offset/size contract, must fill
+    the exact ghost buffers the all-gather strategy produces — and with
+    exact wire volume (sum of send_sizes == comm_matrix total)."""
+    A, pm, _, _ = _system(10, rng, 8, seed=3)
+    mesh = make_mesh(pm.P)
+    x_l = rng.standard_normal((pm.P, pm.L))
+
+    def run_ag(si, gd, gs, xl):
+        return allgather_halo(xl[0], si[0], gd[0], gs[0], AXIS)[None]
+
+    g_ag = jax.jit(shard_map(run_ag, mesh=mesh, in_specs=(P(AXIS),) * 4,
+                             out_specs=P(AXIS)))(
+        pm.send_idx, pm.ghost_src_dev, pm.ghost_src_slot, x_l)
+    g_rg = _simulate_ragged(pm, x_l)
+    for p in range(pm.P):
+        ng = pm.n_ghost[p]
+        np.testing.assert_array_equal(g_rg[p, :ng], np.asarray(g_ag)[p, :ng])
+    # exact wire volume: every p→q edge ships exactly comm_matrix[p, q]
+    assert pm.ragged_send_sizes.sum() == pm.comm_matrix.sum()
+    np.testing.assert_array_equal(pm.ragged_recv_sizes, pm.comm_matrix.T)
+    # offsets are consistent prefix sums
+    np.testing.assert_array_equal(
+        pm.ragged_input_offsets[:, -1] + pm.ragged_send_sizes[:, -1],
+        pm.comm_matrix.sum(axis=1))
+    np.testing.assert_array_equal(
+        pm.ragged_output_offsets[-1, :] + pm.ragged_send_sizes[-1, :],
+        pm.n_ghost)
+
+
+def test_ragged_halo_cpu_reports_no_thunk(rng):
+    """halo='ragged' compiles everywhere; on XLA:CPU it must surface the
+    backend's UNIMPLEMENTED at run time (hardware-gated path — the dryrun
+    catches exactly this and reports 'skipped')."""
+    A, pm, xstar, b = _system(8, rng, 4, seed=1)
+    with pytest.raises(Exception, match="(?i)unimplemented|ragged"):
+        solve_dist_general(pm, b, opt=CGOptions(max_iterations=50),
+                           method="pipelined", halo="ragged")
