@@ -99,8 +99,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "mixed (blockwise storage-dtype sums, f64 across "
                         "blocks — the fast path with --dtype float32) "
                         "[float64]")
-    g.add_argument("--format", default="auto", choices=("auto", "dia", "ell"),
-                   help="operator format [auto]")
+    g.add_argument("--format", default="auto",
+                   choices=("auto", "dia", "ell", "sell"),
+                   help="operator format; auto = DIA when the (reordered) "
+                        "matrix bands, else SELL chunked-gather (the "
+                        "unstructured fast path); ell = the slow reference "
+                        "gather fallback [auto]")
     g.add_argument("--backend", default="xla", choices=("xla", "pallas"),
                    help="DIA SpMV implementation: xla shifted slices or the "
                         "pallas streaming kernel [xla]")
@@ -306,14 +310,22 @@ def main(argv=None) -> int:
 
     def _make_op():
         if "op" not in _op_cache:
-            if dia is not None and args.format != "ell":
+            if dia is not None and args.format in ("auto", "dia"):
                 offsets, vals = dia
                 _op_cache["op"] = DiaOperator.from_arrays(offsets, vals,
                                                           dtype=args.dtype,
                                                           backend=args.backend)
-            else:
+            elif args.format == "ell":
                 ci, v = A.to_ell_arrays(epsilon=args.epsilon)
                 _op_cache["op"] = EllOperator.from_arrays(ci, v, dtype=args.dtype)
+            else:
+                # explicit --format sell, or auto on a matrix with too many
+                # diagonals to band: the chunked-gather fast path
+                from ..core.sell import SellOperator
+                _op_cache["op"] = SellOperator.from_csr(
+                    A.to_scipy_full(args.epsilon), dtype=args.dtype)
+                log(args, f"SELL layout: S={_op_cache['op'].S} slots, "
+                          f"fill={_op_cache['op'].fill:.3f}")
         return _op_cache["op"]
 
     def _print_comm_matrix(cm):

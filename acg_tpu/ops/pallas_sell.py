@@ -75,6 +75,10 @@ def sell_spmv(vals: jnp.ndarray, lidx: jnp.ndarray, cidx: jnp.ndarray,
 
     vals/lidx: (S, Np//128, 128); cidx: (nblocks, S) int32; x: (Np,)
     row-padded (gathers address the first Nx entries)."""
+    if vals.dtype == jnp.float64 and jax.default_backend() != "cpu":
+        raise NotImplementedError(
+            "Mosaic has no f64 tiling on TPU; build the SellOperator with "
+            "dtype=float32 (dot_dtype='mixed' keeps f64-quality reductions)")
     S = vals.shape[0]
     Np = vals.shape[1] * 128
     assert chunk in (128, 1024)

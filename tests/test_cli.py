@@ -212,3 +212,46 @@ def test_reorder_nd(matrix_file, tmp_path):
                         "--max-iterations", "800", "--residual-rtol", "1e-6",
                         "--warmup", "0", "-o", str(out)])
     assert rc == 0
+
+
+@pytest.fixture
+def unstructured_file(tmp_path):
+    """A shuffled SPD matrix with far too many distinct diagonals for DIA
+    (the SuiteSparse-style input of BASELINE config 5)."""
+    import scipy.sparse as sp
+    from acg_tpu.io.mtxfile import MtxFile
+
+    rng = np.random.default_rng(5)
+    n, deg = 300, 6
+    i = rng.integers(0, n, n * deg)
+    j = rng.integers(0, n, n * deg)
+    keep = i != j
+    i, j = i[keep], j[keep]
+    W = sp.coo_matrix((rng.uniform(0.1, 1.0, i.size), (i, j)), shape=(n, n))
+    W = (W + W.T).tocsr()
+    A = sp.diags(np.asarray(W.sum(axis=1)).ravel() + 1.0) - W
+    coo = sp.triu(A.tocsr()).tocoo()
+    m = MtxFile(object="matrix", format="coordinate", field="real",
+                symmetry="symmetric", nrows=n, ncols=n, nnz=coo.nnz,
+                rowidx=coo.row.astype(np.int64),
+                colidx=coo.col.astype(np.int64), data=coo.data)
+    p = tmp_path / "U.mtx"
+    write_mtx(p, m)
+    return p
+
+
+@pytest.mark.parametrize("fmt", ["sell", "auto"])
+def test_format_sell_unstructured(unstructured_file, tmp_path, fmt, capsys):
+    """--format sell (and auto's fallback when DIA can't band) solves an
+    unstructured system through the chunked-gather path end to end."""
+    out = tmp_path / "x.mtx"
+    rc = cli_main.main([str(unstructured_file), "--manufactured-solution",
+                        "--format", fmt, "--max-iterations", "2000",
+                        "--residual-rtol", "1e-9", "--warmup", "0",
+                        "-v", "-o", str(out)])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "SELL layout" in err        # proves the sell path was taken
+    val = float(err.split("manufactured solution error 2-norm: ")[1]
+                .splitlines()[0])
+    assert val < 1e-6
