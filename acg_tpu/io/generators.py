@@ -57,8 +57,10 @@ def poisson3d_dia(n: int, stencil: int = 7, dtype=np.float64) -> tuple[np.ndarra
     iy = (i // n) % n
     ix = i % n
     if stencil == 7:
-        shifts = [(0, 0, -1), (0, -1, 0), (-1, 0, 0), (0, 0, 0),
-                  (1, 0, 0), (0, 1, 0), (0, 0, 1)]
+        # ascending diagonal offsets (sz·n² + sy·n + sx), the invariant
+        # dia_to_csr and the pallas kernels rely on
+        shifts = [(-1, 0, 0), (0, -1, 0), (0, 0, -1), (0, 0, 0),
+                  (0, 0, 1), (0, 1, 0), (1, 0, 0)]
         center = 6.0
     elif stencil == 27:
         shifts = sorted(

@@ -29,6 +29,46 @@ from jax.experimental.pallas import tpu as pltpu
 from . import df64
 
 
+def _fold_chain(prods):
+    qh, ql = prods[0]
+    for mh, ml in prods[1:]:
+        qh, ql = df64.df_add(qh, ql, mh, ml)
+    return qh, ql
+
+
+def _fold(prods, accum):
+    """Fold per-diagonal (hi, lo) product pairs into one pair.
+
+    ``accum`` selects the reduction shape (VERDICT round-1 next #7 — the
+    df64 SpMV is ALU-bound on the dependent df_add chain):
+
+    * ``chain``  — sequential df_add (depth K-1, the round-1 shape);
+    * ``split2`` — two independent chains over even/odd diagonals folded
+      once at the end (depth ~K/2, same flop count + one df_add);
+    * ``tree``   — pairwise tree reduction (depth ceil(log2 K), same
+      flop count, K-1 live pairs at the widest level).
+
+    All three compute the same mathematically-reassociated sum; df64
+    accuracy is ~2^-48 regardless of association order (each df_add is
+    individually error-free to working precision).
+    """
+    if accum == "chain" or len(prods) < 3:
+        return _fold_chain(prods)
+    if accum == "split2":
+        a = _fold_chain(prods[0::2])
+        b = _fold_chain(prods[1::2])
+        return df64.df_add(*a, *b)
+    if accum == "tree":
+        while len(prods) > 1:
+            nxt = [df64.df_add(*prods[i], *prods[i + 1])
+                   for i in range(0, len(prods) - 1, 2)]
+            if len(prods) % 2:
+                nxt.append(prods[-1])
+            prods = nxt
+        return prods[0]
+    raise ValueError(f"unknown df64 accum strategy {accum!r}")
+
+
 def _dot_partials(ph_sum, pe_sum, B):
     """Sum a (B,) f32 product array blockwise (1024) into one f32 pair via
     sequential two_sum folding of the chunk sums."""
@@ -44,7 +84,7 @@ def _dot_partials(ph_sum, pe_sum, B):
     return hi, lo
 
 
-def _kernel(offsets, hw, B, vals_exact, wh_hbm, wl_hbm,
+def _kernel(offsets, hw, B, vals_exact, accum, wh_hbm, wl_hbm,
             sc_ref, vh_ref, vl_ref,
             xh_ref, xl_ref, rh_ref, rl_ref, zh_ref, zl_ref,
             th_ref, tl_ref, ph_ref, pl_ref,
@@ -83,7 +123,7 @@ def _kernel(offsets, hw, B, vals_exact, wh_hbm, wl_hbm,
 
     def compute(wh_win, wl_win):
         with df64.no_barriers():
-            qh = ql = None
+            prods = []
             for k, off in enumerate(offsets):
                 if vals_exact:
                     # matrix entries exactly representable in f32
@@ -96,15 +136,13 @@ def _kernel(offsets, hw, B, vals_exact, wh_hbm, wl_hbm,
                     mh, ml = df64.df_mul(vh_ref[k, :], vl_ref[k, :],
                                          wh_win[pl.ds(hw + off, B)],
                                          wl_win[pl.ds(hw + off, B)])
-                if qh is None:
-                    qh, ql = mh, ml
-                else:
-                    # NOTE: a compensated (non-normalized) accumulation —
-                    # two_sum on hi, plain adds on lo — has fewer flops
-                    # but measured SLOWER on v5e (1753 vs 1505 µs/iter;
-                    # the longer dependent chain on qh stalls the VPU),
-                    # so the full df_add stays
-                    qh, ql = df64.df_add(qh, ql, mh, ml)
+                prods.append((mh, ml))
+            # NOTE: a compensated (non-normalized) accumulation — two_sum
+            # on hi, plain adds on lo — has fewer flops but measured
+            # SLOWER on v5e (1753 vs 1505 µs/iter; the longer dependent
+            # chain on qh stalls the VPU), so full df_add folding stays;
+            # ``accum`` picks the fold shape (chain/split2/tree)
+            qh, ql = _fold(prods, accum)
             wh = wh_win[pl.ds(hw, B)]
             wl = wl_win[pl.ds(hw, B)]
             # z = q + beta*z ; t = w + beta*t ; p = r + beta*p
@@ -166,23 +204,25 @@ def _kernel(offsets, hw, B, vals_exact, wh_hbm, wl_hbm,
 
 
 @functools.partial(jax.jit, static_argnames=("offsets", "hw", "block",
-                                             "vals_exact"))
+                                             "vals_exact", "accum"))
 def fused_df64_iter(vals_h, vals_l, wh_ext, wl_ext,
                     xh, xl, rh, rl, zh, zl, th, tl, ph, pl_,
                     scalars, offsets: tuple[int, ...], hw: int, block: int,
-                    vals_exact: bool = False):
+                    vals_exact: bool = False, accum: str = "chain"):
     """One df64 fused pipelined-CG iteration.
 
     ``scalars`` is a (1, 4) f32 array [[alpha_hi, alpha_lo, beta_hi,
     beta_lo]].  ``vals_exact`` (static): the matrix entries are exactly
     f32-representable, enabling the cheaper one-sided SpMV products.
+    ``accum`` (static): SpMV fold shape — see ``_fold``.
     Returns 12 updated (hi, lo) vectors plus gd, a float64 (2,) vector of
     (γ', δ') from the per-block partial pairs.
     """
     K, Np = vals_h.shape
     assert Np % block == 0
     nblocks = Np // block
-    kernel = functools.partial(_kernel, offsets, hw, block, vals_exact)
+    kernel = functools.partial(_kernel, offsets, hw, block, vals_exact,
+                               accum)
     f32 = jnp.float32
     z32 = np.int32(0)
     blk = lambda: pl.BlockSpec((block,), lambda i: (i,),

@@ -27,6 +27,7 @@ Iteration structure parity:
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Callable
 
@@ -469,7 +470,7 @@ def pipelined_cg_loop_df64(op, b, x0, opt: CGOptions,
                            spmv: Callable | None = None,
                            vals=None, offsets=None, hw: int | None = None,
                            ext2: Callable | None = None,
-                           vals_exact: bool = False):
+                           vals_exact: bool = False, accum: str = "chain"):
     """Pipelined CG in df64 (double-f32) precision — the f64-parity fast
     path on TPU (no native f64 ALUs; see ops/df64.py and
     ops/pallas_df64.py).  ~2^-48 relative accuracy end-to-end; each
@@ -552,7 +553,7 @@ def pipelined_cg_loop_df64(op, b, x0, opt: CGOptions,
              gd) = fused_df64_iter(
                 vals_h, vals_l, wh_ext, wl_ext,
                 xh, xl, rh, rl, zh, zl, th, tl, ph, pl_,
-                sc, offsets, hw, block, vals_exact)
+                sc, offsets, hw, block, vals_exact, accum)
         gd = reduce_fn(gd)
         gamma_new = jnp.where(frozen, gamma, gd[0])
         delta_new = jnp.where(frozen, delta, gd[1])
@@ -594,9 +595,10 @@ def pipelined_cg_loop_df64(op, b, x0, opt: CGOptions,
 METHODS = ("cg", "pipelined", "pipelined-fused", "pipelined-df64")
 
 
-@partial(jax.jit, static_argnames=("opt", "method", "history", "vals_exact"))
+@partial(jax.jit, static_argnames=("opt", "method", "history", "vals_exact",
+                                   "accum"))
 def _run_single(op, bp, x0p, opt: CGOptions, method: str, history: bool,
-                vals_exact: bool = False):
+                vals_exact: bool = False, accum: str = "chain"):
     """Compiled solve program.  Keyed by the static (opt, method, history)
     triple and the operator's static aux (offsets/N/backend), so repeated
     solves with the same configuration reuse the compiled program — the
@@ -612,7 +614,7 @@ def _run_single(op, bp, x0p, opt: CGOptions, method: str, history: bool,
             raise ValueError("pipelined-df64 has no history variant; use "
                              "method='pipelined' for residual histories")
         return pipelined_cg_loop_df64(op, bp, x0p, opt,
-                                      vals_exact=vals_exact)
+                                      vals_exact=vals_exact, accum=accum)
     if history:
         fn = cg_history_scan if method == "cg" else pipelined_cg_history_scan
     else:
@@ -629,13 +631,14 @@ _COMPILED_CACHE: dict = {}
 _LAST_COMPILED = [None]
 
 
-def _compiled_run(op, bp, x0p, opt, method, history, vals_exact):
+def _compiled_run(op, bp, x0p, opt, method, history, vals_exact,
+                  accum="chain"):
     key = (jax.default_backend(), type(op).__name__, op.tree_flatten()[1],
-           bp.shape, str(bp.dtype), opt, method, history, vals_exact)
+           bp.shape, str(bp.dtype), opt, method, history, vals_exact, accum)
     c = _COMPILED_CACHE.get(key)
     if c is None:
         c = _run_single.lower(op, bp, x0p, opt, method, history,
-                              vals_exact).compile()
+                              vals_exact, accum).compile()
         _COMPILED_CACHE[key] = c
     _LAST_COMPILED[0] = c
     return c
@@ -667,7 +670,11 @@ def solve(op, b: np.ndarray, x0: np.ndarray | None = None,
         x0p = jnp.zeros((Np,), vdtype).at[:N].set(jnp.asarray(x0, vdtype))
 
     vals_exact = False
+    accum = "chain"
     if method == "pipelined-df64":
+        # SpMV fold shape A/B switch (ops/pallas_df64._fold); a static
+        # compile-time property, part of the compiled-program cache key
+        accum = os.environ.get("ACG_DF64_ACCUM", "chain")
         # static property used to specialize the kernel (matrix entries
         # exactly f32-representable?) — cached on the operator at
         # construction; the fallback fetch happens at most once per
@@ -680,7 +687,7 @@ def solve(op, b: np.ndarray, x0: np.ndarray | None = None,
                 np.all(v == v.astype(np.float32).astype(v.dtype)))
             op._vals_exact = vals_exact
 
-    run = _compiled_run(op, bp, x0p, opt, method, history, vals_exact)
+    run = _compiled_run(op, bp, x0p, opt, method, history, vals_exact, accum)
     if history:
         x, scalars, hist = run(op, bp, x0p)
         hist = np.asarray(hist)

@@ -1,0 +1,82 @@
+"""BASELINE configs 1 & 2, measured end-to-end on the real TPU.
+
+Config 1 — classic CG, single process, 3-D Poisson 64³ (7-point).
+Config 2 — pipelined CG (Chronopoulos/Gear single-reduction), same matrix.
+
+(Configs 3/4 are multi-chip/multi-host — validated structurally by
+__graft_entry__.dryrun_multichip and scripts/weak_scaling.py on the
+virtual mesh; this container exposes one real chip.  Config 5 is
+scripts/bench_unstructured.py.)
+
+Protocol: manufactured solution, rtol 1e-6, max 1000 iterations (the
+reference's run protocol, scripts/mpi_combined.sh:57-58); solve wall time
+measured after one warmup solve pays the compile; classic-vs-pipelined
+iteration counts and solution errors cross-checked against scipy CG.
+
+Usage: python scripts/bench_configs.py [n]   (default 64)
+       ACG_BENCH_CPU=1 for a small CPU smoke run (n=16)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if os.environ.get("ACG_BENCH_CPU") == "1":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    import jax
+
+    from acg_tpu.core.dia import DiaOperator
+    from acg_tpu.io.generators import dia_to_csr, poisson3d_dia
+    from acg_tpu.solvers.cg import CGOptions, solve
+    from acg_tpu.solvers.reference import solve_scipy
+
+    small = os.environ.get("ACG_BENCH_CPU") == "1"
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else (16 if small else 64)
+
+    offsets, vals = poisson3d_dia(n, 7, dtype=np.float64)
+    A = dia_to_csr(offsets, vals)
+    N = A.shape[0]
+    rng = np.random.default_rng(0)
+    xstar = rng.standard_normal(N)
+    xstar /= np.linalg.norm(xstar)
+    b = A @ xstar
+    print(f"3-D Poisson {n}^3 7-pt: N={N:,} nnz={A.nnz:,}", flush=True)
+
+    opt = CGOptions(max_iterations=1000, residual_rtol=1e-6,
+                    dot_dtype="mixed", check_every=10)
+    _, sinfo = solve_scipy(A, b, opt=CGOptions(max_iterations=1000,
+                                               residual_rtol=1e-6))
+    print(f"scipy CG oracle: iters={sinfo.niterations} "
+          f"converged={sinfo.converged}", flush=True)
+
+    op = DiaOperator.from_arrays(offsets, vals, dtype=np.float32,
+                                 pad_to=1024,
+                                 backend="xla" if small else "pallas")
+    for cfg, method in (("config1-classic", "cg"),
+                        ("config2-pipelined", "pipelined")):
+        xw, _ = solve(op, b, opt=opt, method=method)  # warmup + compile
+        t0 = time.perf_counter()
+        x, info = solve(op, b, opt=opt, method=method)
+        wall = time.perf_counter() - t0
+        err = np.linalg.norm(x - xstar)
+        print(f"{cfg}: iters={info.niterations} converged={info.converged} "
+              f"rnrm={info.rnrm2:.3e} err={err:.2e} "
+              f"solve wall={wall:.3f} s "
+              f"({wall / max(info.niterations, 1) * 1e6:.0f} us/iter incl. "
+              f"dispatch)", flush=True)
+        assert info.converged and abs(info.niterations - sinfo.niterations) <= 200
+
+
+if __name__ == "__main__":
+    main()

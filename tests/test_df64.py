@@ -7,6 +7,8 @@ Pallas paths hold (verified on hardware: df_mul 2.6e-14, in-kernel
 3.5e-14); the solvers only use df64 inside Pallas kernels.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -115,6 +117,36 @@ def test_df64_solver_converges(rng):
     x, info = solve(op, b, opt=opt, method="pipelined-df64")
     assert info.converged
     assert np.linalg.norm(x - xstar) / np.linalg.norm(xstar) < 1e-3
+
+
+def test_df64_accum_strategies(rng):
+    """The split2/tree SpMV fold shapes (ops/pallas_df64._fold) converge
+    to the same solution as the chain fold — reassociation only."""
+    import scipy.sparse as sp
+    from acg_tpu.core.dia import DiaOperator
+    from acg_tpu.io.generators import dia_to_coo, poisson2d_dia
+    from acg_tpu.solvers.cg import CGOptions, solve
+
+    offsets, vals = poisson2d_dia(12)
+    rowidx, colidx, a, N = dia_to_coo(offsets, vals)
+    A = sp.coo_matrix((a, (rowidx, colidx)), shape=(N, N)).tocsr()
+    xstar = rng.standard_normal(N)
+    xstar /= np.linalg.norm(xstar)
+    b = A @ xstar
+    opt = CGOptions(max_iterations=2000, residual_rtol=1e-5, check_every=4)
+    sols = {}
+    for accum in ("chain", "split2", "tree"):
+        os.environ["ACG_DF64_ACCUM"] = accum
+        try:
+            op = DiaOperator.from_arrays(offsets, vals, pad_to=128)
+            x, info = solve(op, b, opt=opt, method="pipelined-df64")
+        finally:
+            del os.environ["ACG_DF64_ACCUM"]
+        assert info.converged, accum
+        assert np.linalg.norm(x - xstar) / np.linalg.norm(xstar) < 1e-3, accum
+        sols[accum] = x
+    assert np.allclose(sols["split2"], sols["chain"], rtol=1e-6)
+    assert np.allclose(sols["tree"], sols["chain"], rtol=1e-6)
 
 
 def test_df64_distributed_stencil(rng):
