@@ -115,10 +115,26 @@ def build_partitioned_matrix(A_full: sp.csr_matrix, part: np.ndarray,
     scatter — the same sort-based construction the reference implements
     with radix sorts in C (graph.c:582-807 interface discovery,
     graph.c:813-1529 subgraph assembly, symcsrmatrix.c:685-845 operator
-    split).  16.7M rows / 450M nnz (the BASELINE 256³ 27-point config)
-    builds in tens of seconds on one host core; the previous per-row
-    Python loops took hours at that scale.
+    split).  Hot-path dtype discipline: every nnz-length array is int32
+    (nnz < 2³¹ is asserted), cumulative counts run over N-length row
+    arrays rather than nnz-length entry arrays, and the ELL scatters go
+    through one flat raveled index per slab — 16.7M rows / 450M nnz (the
+    BASELINE 256³ 27-point config) builds in about a minute on one host
+    core; the round-1 per-row Python loops took hours at that scale.
+    Set ACG_SETUP_TIMING=1 to print per-phase times.
     """
+    import os
+    import time as _time
+    timing = os.environ.get("ACG_SETUP_TIMING") == "1"
+    _t = _time.perf_counter()
+
+    def _mark(label):
+        nonlocal _t
+        if timing:
+            now = _time.perf_counter()
+            print(f"    [setup] {label}: {now - _t:.2f} s", flush=True)
+            _t = now
+
     A = A_full.tocsr()
     N = A.shape[0]
     part = np.asarray(part, dtype=np.int64)
@@ -126,11 +142,14 @@ def build_partitioned_matrix(A_full: sp.csr_matrix, part: np.ndarray,
 
     rowptr, colidx, data = A.indptr, A.indices, A.data
     nnz = int(colidx.shape[0])
+    assert nnz < 2**31, "nnz must fit int32 for the vectorized setup path"
+    part32 = part.astype(np.int32)
     rowlen = np.diff(rowptr)
-    row_of = np.repeat(np.arange(N, dtype=np.int64), rowlen)
-    rpart = part[row_of]                 # (nnz,) owner of each entry's row
-    cpart = part[colidx]                 # (nnz,) owner of each entry's col
+    row_of = np.repeat(np.arange(N, dtype=np.int32), rowlen)
+    rpart = part32[row_of]               # (nnz,) owner of each entry's row
+    cpart = part32[colidx]               # (nnz,) owner of each entry's col
     offp = rpart != cpart                # off-part (interface) entries
+    _mark("classify entries")
 
     # --- classify interior/border, establish local order -------------------
     # border row: any column owned elsewhere (graph.c:946-1133)
@@ -146,12 +165,14 @@ def build_partitioned_matrix(A_full: sp.csr_matrix, part: np.ndarray,
     rows_global = np.full((P, L), -1, dtype=np.int64)
     loc = np.arange(N, dtype=np.int64) - starts[part[order]]
     rows_global[part[order], loc] = order
-    global_to_local = np.empty(N, dtype=np.int64)
+    global_to_local = np.empty(N, dtype=np.int32)
     global_to_local[order] = loc
+    _mark("local order")
 
     # --- ghosts: off-part columns of owned rows, sorted (owner, global) ----
     # unique (requesting part, ghost row) pairs from the interface entries
-    pg = np.unique(rpart[offp] * np.int64(N) + colidx[offp])
+    gst_i = np.nonzero(offp)[0]              # interface entry positions
+    pg = np.unique(rpart[gst_i].astype(np.int64) * N + colidx[gst_i])
     gp_p = pg // N
     gp_g = pg % N
     gp_owner = part[gp_g]
@@ -164,6 +185,7 @@ def build_partitioned_matrix(A_full: sp.csr_matrix, part: np.ndarray,
     gloc = np.arange(npairs, dtype=np.int64) - gstarts[gp_p]
     ghost_global = np.full((P, G), -1, dtype=np.int64)
     ghost_global[gp_p, gloc] = gp_g
+    _mark("ghost discovery")
 
     # --- halo plan: per-part send buffers (union of all requests) ----------
     # exported[q] = sorted unique global rows of q requested by any part
@@ -225,38 +247,54 @@ def build_partitioned_matrix(A_full: sp.csr_matrix, part: np.ndarray,
         # output offsets: where sender p's run starts in q's ghost buffer =
         # sum over owners o < p of comm_matrix[o, q]
         ragged_output_offsets[1:, :] = np.cumsum(comm_matrix, axis=0)[:-1, :]
+    _mark("halo plans")
 
     # --- local ELL operators -------------------------------------------------
     # Column renumbering: owned col → local slot; ghost col → ghost slot.
-    # Per-entry slab index = rank among same-class entries of the row
-    # (exclusive prefix counts, the prefixsum.c construction).
-    owned = ~offp
-    Cown = np.concatenate([[0], np.cumsum(owned, dtype=np.int64)])
-    Cgst = np.concatenate([[0], np.cumsum(offp, dtype=np.int64)])
-    rank_own = Cown[:-1] - Cown[rowptr[:-1]][row_of] if nnz else Cown[:0]
-    rank_gst = Cgst[:-1] - Cgst[rowptr[:-1]][row_of] if nnz else Cgst[:0]
-    K_own = max(int((Cown[rowptr[1:]] - Cown[rowptr[:-1]]).max()) if N else 0, 1)
-    K_gst = max(int((Cgst[rowptr[1:]] - Cgst[rowptr[:-1]]).max()) if N else 0, 1)
+    # Per-entry slab index = rank among same-class entries of the row.
+    # Entries of a class appear in ascending position within each row, so
+    # the rank of the j-th class entry overall is j minus the row's class
+    # start — an N-length exclusive prefix over per-row class counts
+    # (prefixsum.c construction) instead of an nnz-length cumsum.
+    own_i = np.nonzero(~offp)[0]
+    cnt_gst = np.bincount(row_of[gst_i], minlength=N)
+    cnt_own = rowlen - cnt_gst
+    K_own = max(int(cnt_own.max()) if N else 0, 1)
+    K_gst = max(int(cnt_gst.max()) if N else 0, 1)
+    ownstart = np.concatenate([[0], np.cumsum(cnt_own)]).astype(np.int32)
+    gststart = np.concatenate([[0], np.cumsum(cnt_gst)]).astype(np.int32)
+    _mark("class counts")
 
-    li = global_to_local[row_of]
+    row_own = row_of[own_i]
+    rank_own = np.arange(own_i.shape[0], dtype=np.int32) - ownstart[row_own]
+    # flat raveled scatter into the (P, K, L) slabs: one int64 index array
+    # per slab instead of three fancy-index arrays
+    flat_own = (rpart[own_i].astype(np.int64) * K_own + rank_own) * L \
+        + global_to_local[row_own]
     own_colidx = np.zeros((P, K_own, L), dtype=np.int32)
     own_colidx[:, :, :] = np.arange(L, dtype=np.int32)[None, None, :]
     own_vals = np.zeros((P, K_own, L), dtype=np.float64)
-    own_colidx[rpart[owned], rank_own[owned], li[owned]] = \
-        global_to_local[colidx[owned]].astype(np.int32)
-    own_vals[rpart[owned], rank_own[owned], li[owned]] = data[owned]
+    own_colidx.reshape(-1)[flat_own] = global_to_local[colidx[own_i]]
+    own_vals.reshape(-1)[flat_own] = data[own_i]
+    del own_i, row_own, rank_own, flat_own
+    _mark("owned ELL")
 
     # ghost slot of (part, col): binary search in the (part, ghost) pairs
     ghost_colidx = np.zeros((P, K_gst, L), dtype=np.int32)
     ghost_vals = np.zeros((P, K_gst, L), dtype=np.float64)
     if npairs:
+        row_gst = row_of[gst_i]
+        rank_gst = np.arange(gst_i.shape[0], dtype=np.int32) \
+            - gststart[row_gst]
         pg_key = gp_p * np.int64(N) + gp_g
         ko = np.argsort(pg_key)
-        q_key = rpart[offp] * np.int64(N) + colidx[offp]
+        q_key = rpart[gst_i].astype(np.int64) * N + colidx[gst_i]
         gslot = gloc[ko][np.searchsorted(pg_key[ko], q_key)]
-        ghost_colidx[rpart[offp], rank_gst[offp], li[offp]] = \
-            gslot.astype(np.int32)
-        ghost_vals[rpart[offp], rank_gst[offp], li[offp]] = data[offp]
+        flat_gst = (rpart[gst_i].astype(np.int64) * K_gst + rank_gst) * L \
+            + global_to_local[row_gst]
+        ghost_colidx.reshape(-1)[flat_gst] = gslot.astype(np.int32)
+        ghost_vals.reshape(-1)[flat_gst] = data[gst_i]
+    _mark("ghost ELL")
 
     return PartitionedMatrix(
         P=P, N=N, part=part,
