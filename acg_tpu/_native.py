@@ -58,6 +58,20 @@ def _load():
                 lib.acg_radix_sort_i64.argtypes = [
                     ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
                     ctypes.POINTER(ctypes.c_int64)]
+            if hasattr(lib, "acg_ell_scan"):
+                i64p = ctypes.POINTER(ctypes.c_int64)
+                i32p = ctypes.POINTER(ctypes.c_int32)
+                f64p = ctypes.POINTER(ctypes.c_double)
+                lib.acg_ell_scan.restype = ctypes.c_int
+                lib.acg_ell_scan.argtypes = [
+                    i64p, i32p, i32p, ctypes.c_int64,
+                    i32p, i32p, i64p, i64p]
+                lib.acg_ell_fill.restype = ctypes.c_int
+                lib.acg_ell_fill.argtypes = [
+                    i64p, i32p, f64p, i32p, i32p, ctypes.c_int64,
+                    ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                    i64p, i64p, i64p, ctypes.c_int64,
+                    i32p, f64p, i32p, f64p]
             _LIB = lib
             break
     return _LIB
@@ -142,3 +156,74 @@ def rcm_order(rowptr: np.ndarray, colidx: np.ndarray) -> np.ndarray:
     if err != 0:
         raise ValueError(f"native RCM failed with code {err}")
     return perm
+
+
+def has_ell_split() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "acg_ell_scan")
+
+
+def _ptr(a, ct):
+    return a.ctypes.data_as(ctypes.POINTER(ct))
+
+
+def ell_scan(rowptr: np.ndarray, colidx: np.ndarray, part: np.ndarray):
+    """Per-row owned/ghost counts and the (part*N + col) key of every
+    off-part entry, in one streaming pass (symcsrmatrix.c:685-845 scan).
+    Returns (cnt_own (N,) i32, cnt_gst (N,) i32, pc_keys (total_gst,) i64).
+    """
+    lib = _load()
+    assert lib is not None and hasattr(lib, "acg_ell_scan")
+    rowptr = np.ascontiguousarray(rowptr, dtype=np.int64)
+    colidx = np.ascontiguousarray(colidx, dtype=np.int32)
+    part = np.ascontiguousarray(part, dtype=np.int32)
+    n = rowptr.shape[0] - 1
+    nnz = int(rowptr[-1])
+    cnt_own = np.empty(n, dtype=np.int32)
+    cnt_gst = np.empty(n, dtype=np.int32)
+    pc_keys = np.empty(nnz, dtype=np.int64)
+    total = ctypes.c_int64(0)
+    err = lib.acg_ell_scan(
+        _ptr(rowptr, ctypes.c_int64), _ptr(colidx, ctypes.c_int32),
+        _ptr(part, ctypes.c_int32), n,
+        _ptr(cnt_own, ctypes.c_int32), _ptr(cnt_gst, ctypes.c_int32),
+        _ptr(pc_keys, ctypes.c_int64), ctypes.byref(total))
+    if err != 0:
+        raise ValueError(f"native ell_scan failed with code {err}")
+    return cnt_own, cnt_gst, pc_keys[:total.value].copy()
+
+
+def ell_fill(rowptr, colidx, data, part, g2l,
+             K_own: int, K_gst: int, L: int,
+             ghost_global: np.ndarray, n_ghost: np.ndarray,
+             own_colidx: np.ndarray, own_vals: np.ndarray,
+             ghost_colidx: np.ndarray, ghost_vals: np.ndarray) -> None:
+    """Scatter every CSR entry into the stacked (P, K, L) ELL slabs in one
+    streaming pass; ghost columns resolve to slots by per-part binary
+    search over a global-sorted view of ghost_global."""
+    lib = _load()
+    assert lib is not None and hasattr(lib, "acg_ell_fill")
+    rowptr = np.ascontiguousarray(rowptr, dtype=np.int64)
+    colidx = np.ascontiguousarray(colidx, dtype=np.int32)
+    data = np.ascontiguousarray(data, dtype=np.float64)
+    part = np.ascontiguousarray(part, dtype=np.int32)
+    g2l = np.ascontiguousarray(g2l, dtype=np.int32)
+    n = rowptr.shape[0] - 1
+    G = ghost_global.shape[1]
+    slot_of = np.argsort(ghost_global, axis=1)           # (P, G)
+    sorted_g = np.take_along_axis(ghost_global, slot_of, axis=1)
+    sorted_g = np.ascontiguousarray(sorted_g, dtype=np.int64)
+    slot_of = np.ascontiguousarray(slot_of, dtype=np.int64)
+    n_ghost = np.ascontiguousarray(n_ghost, dtype=np.int64)
+    err = lib.acg_ell_fill(
+        _ptr(rowptr, ctypes.c_int64), _ptr(colidx, ctypes.c_int32),
+        _ptr(data, ctypes.c_double), _ptr(part, ctypes.c_int32),
+        _ptr(g2l, ctypes.c_int32), n,
+        K_own, K_gst, L,
+        _ptr(sorted_g, ctypes.c_int64), _ptr(slot_of, ctypes.c_int64),
+        _ptr(n_ghost, ctypes.c_int64), G,
+        _ptr(own_colidx, ctypes.c_int32), _ptr(own_vals, ctypes.c_double),
+        _ptr(ghost_colidx, ctypes.c_int32), _ptr(ghost_vals, ctypes.c_double))
+    if err != 0:
+        raise ValueError(f"native ell_fill failed with code {err} "
+                         "(ghost plan inconsistency)")

@@ -144,17 +144,29 @@ def build_partitioned_matrix(A_full: sp.csr_matrix, part: np.ndarray,
     nnz = int(colidx.shape[0])
     assert nnz < 2**31, "nnz must fit int32 for the vectorized setup path"
     part32 = part.astype(np.int32)
-    rowlen = np.diff(rowptr)
-    row_of = np.repeat(np.arange(N, dtype=np.int32), rowlen)
-    rpart = part32[row_of]               # (nnz,) owner of each entry's row
-    cpart = part32[colidx]               # (nnz,) owner of each entry's col
-    offp = rpart != cpart                # off-part (interface) entries
-    _mark("classify entries")
 
     # --- classify interior/border, establish local order -------------------
-    # border row: any column owned elsewhere (graph.c:946-1133)
-    is_border = np.zeros(N, dtype=bool)
-    is_border[row_of[offp]] = True
+    # border row: any column owned elsewhere (graph.c:946-1133).  The
+    # native streaming scan produces per-row class counts and the ghost
+    # (part, col) keys in one pass; the numpy fallback materializes the
+    # per-entry classification.
+    from .. import _native
+    use_native = _native.has_ell_split() and N > 0
+    if use_native:
+        cnt_own, cnt_gst, pc_keys = _native.ell_scan(rowptr, colidx, part32)
+        is_border = cnt_gst > 0
+    else:
+        rowlen = np.diff(rowptr)
+        row_of = np.repeat(np.arange(N, dtype=np.int32), rowlen)
+        rpart = part32[row_of]           # (nnz,) owner of each entry's row
+        cpart = part32[colidx]           # (nnz,) owner of each entry's col
+        offp = rpart != cpart            # off-part (interface) entries
+        gst_i = np.nonzero(offp)[0]      # interface entry positions
+        cnt_gst = np.bincount(row_of[gst_i], minlength=N)
+        cnt_own = rowlen - cnt_gst
+        is_border = np.zeros(N, dtype=bool)
+        is_border[row_of[gst_i]] = True
+    _mark("classify entries")
     # per part: interior rows first, then border, each ascending global id
     order = np.lexsort((is_border, part))
     n_owned = np.bincount(part, minlength=P)
@@ -171,8 +183,10 @@ def build_partitioned_matrix(A_full: sp.csr_matrix, part: np.ndarray,
 
     # --- ghosts: off-part columns of owned rows, sorted (owner, global) ----
     # unique (requesting part, ghost row) pairs from the interface entries
-    gst_i = np.nonzero(offp)[0]              # interface entry positions
-    pg = np.unique(rpart[gst_i].astype(np.int64) * N + colidx[gst_i])
+    if use_native:
+        pg = np.unique(pc_keys)
+    else:
+        pg = np.unique(rpart[gst_i].astype(np.int64) * N + colidx[gst_i])
     gp_p = pg // N
     gp_g = pg % N
     gp_owner = part[gp_g]
@@ -251,50 +265,59 @@ def build_partitioned_matrix(A_full: sp.csr_matrix, part: np.ndarray,
 
     # --- local ELL operators -------------------------------------------------
     # Column renumbering: owned col → local slot; ghost col → ghost slot.
-    # Per-entry slab index = rank among same-class entries of the row.
-    # Entries of a class appear in ascending position within each row, so
-    # the rank of the j-th class entry overall is j minus the row's class
-    # start — an N-length exclusive prefix over per-row class counts
-    # (prefixsum.c construction) instead of an nnz-length cumsum.
-    own_i = np.nonzero(~offp)[0]
-    cnt_gst = np.bincount(row_of[gst_i], minlength=N)
-    cnt_own = rowlen - cnt_gst
     K_own = max(int(cnt_own.max()) if N else 0, 1)
     K_gst = max(int(cnt_gst.max()) if N else 0, 1)
-    ownstart = np.concatenate([[0], np.cumsum(cnt_own)]).astype(np.int32)
-    gststart = np.concatenate([[0], np.cumsum(cnt_gst)]).astype(np.int32)
-    _mark("class counts")
-
-    row_own = row_of[own_i]
-    rank_own = np.arange(own_i.shape[0], dtype=np.int32) - ownstart[row_own]
-    # flat raveled scatter into the (P, K, L) slabs: one int64 index array
-    # per slab instead of three fancy-index arrays
-    flat_own = (rpart[own_i].astype(np.int64) * K_own + rank_own) * L \
-        + global_to_local[row_own]
     own_colidx = np.zeros((P, K_own, L), dtype=np.int32)
     own_colidx[:, :, :] = np.arange(L, dtype=np.int32)[None, None, :]
     own_vals = np.zeros((P, K_own, L), dtype=np.float64)
-    own_colidx.reshape(-1)[flat_own] = global_to_local[colidx[own_i]]
-    own_vals.reshape(-1)[flat_own] = data[own_i]
-    del own_i, row_own, rank_own, flat_own
-    _mark("owned ELL")
-
-    # ghost slot of (part, col): binary search in the (part, ghost) pairs
     ghost_colidx = np.zeros((P, K_gst, L), dtype=np.int32)
     ghost_vals = np.zeros((P, K_gst, L), dtype=np.float64)
-    if npairs:
-        row_gst = row_of[gst_i]
-        rank_gst = np.arange(gst_i.shape[0], dtype=np.int32) \
-            - gststart[row_gst]
-        pg_key = gp_p * np.int64(N) + gp_g
-        ko = np.argsort(pg_key)
-        q_key = rpart[gst_i].astype(np.int64) * N + colidx[gst_i]
-        gslot = gloc[ko][np.searchsorted(pg_key[ko], q_key)]
-        flat_gst = (rpart[gst_i].astype(np.int64) * K_gst + rank_gst) * L \
-            + global_to_local[row_gst]
-        ghost_colidx.reshape(-1)[flat_gst] = gslot.astype(np.int32)
-        ghost_vals.reshape(-1)[flat_gst] = data[gst_i]
-    _mark("ghost ELL")
+    _mark("slab alloc")
+
+    if use_native:
+        # one streaming C++ pass over all entries (scatter + per-part
+        # binary-searched ghost slots)
+        _native.ell_fill(rowptr, colidx, data, part32, global_to_local,
+                         K_own, K_gst, L, ghost_global, n_ghost,
+                         own_colidx, own_vals, ghost_colidx, ghost_vals)
+        _mark("native ELL fill")
+    else:
+        # Per-entry slab index = rank among same-class entries of the
+        # row.  Entries of a class appear in ascending position within
+        # each row, so the rank of the j-th class entry overall is j
+        # minus the row's class start — an N-length exclusive prefix over
+        # per-row class counts (prefixsum.c construction) instead of an
+        # nnz-length cumsum.
+        own_i = np.nonzero(~offp)[0]
+        ownstart = np.concatenate([[0], np.cumsum(cnt_own)]).astype(np.int32)
+        gststart = np.concatenate([[0], np.cumsum(cnt_gst)]).astype(np.int32)
+        row_own = row_of[own_i]
+        rank_own = np.arange(own_i.shape[0], dtype=np.int32) \
+            - ownstart[row_own]
+        # flat raveled scatter into the (P, K, L) slabs: one int64 index
+        # array per slab instead of three fancy-index arrays
+        flat_own = (rpart[own_i].astype(np.int64) * K_own + rank_own) * L \
+            + global_to_local[row_own]
+        own_colidx.reshape(-1)[flat_own] = global_to_local[colidx[own_i]]
+        own_vals.reshape(-1)[flat_own] = data[own_i]
+        del own_i, row_own, rank_own, flat_own
+        _mark("owned ELL")
+
+        # ghost slot of (part, col): binary search in the (part, ghost)
+        # pairs
+        if npairs:
+            row_gst = row_of[gst_i]
+            rank_gst = np.arange(gst_i.shape[0], dtype=np.int32) \
+                - gststart[row_gst]
+            pg_key = gp_p * np.int64(N) + gp_g
+            ko = np.argsort(pg_key)
+            q_key = rpart[gst_i].astype(np.int64) * N + colidx[gst_i]
+            gslot = gloc[ko][np.searchsorted(pg_key[ko], q_key)]
+            flat_gst = (rpart[gst_i].astype(np.int64) * K_gst + rank_gst) \
+                * L + global_to_local[row_gst]
+            ghost_colidx.reshape(-1)[flat_gst] = gslot.astype(np.int32)
+            ghost_vals.reshape(-1)[flat_gst] = data[gst_i]
+        _mark("ghost ELL")
 
     return PartitionedMatrix(
         P=P, N=N, part=part,

@@ -715,4 +715,83 @@ int acg_rcm_order(const int64_t* rowptr, const int32_t* colidx, int64_t n,
     return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Partitioned-operator ELL split: the hot passes of the setup path
+// (symcsrmatrix.c:685-845 fa/oa split + graph.c:813-1529 subgraph
+// assembly, re-expressed as two streaming passes over the CSR entries;
+// the plan/ordering bookkeeping stays in numpy where it is cheap).
+
+// Pass 1: per-row owned/ghost entry counts, plus the (part*n + col) key
+// of every off-part entry in entry order.  pc_keys must have capacity
+// nnz; the used length is returned through total_gst_out.
+int acg_ell_scan(const int64_t* rowptr, const int32_t* colidx,
+                 const int32_t* part, int64_t n,
+                 int32_t* cnt_own, int32_t* cnt_gst,
+                 int64_t* pc_keys, int64_t* total_gst_out) {
+    int64_t tg = 0;
+    for (int64_t r = 0; r < n; r++) {
+        const int32_t p = part[r];
+        int32_t co = 0, cg = 0;
+        for (int64_t e = rowptr[r]; e < rowptr[r + 1]; e++) {
+            const int32_t c = colidx[e];
+            if (part[c] == p) {
+                co++;
+            } else {
+                pc_keys[tg++] = (int64_t)p * n + c;
+                cg++;
+            }
+        }
+        cnt_own[r] = co;
+        cnt_gst[r] = cg;
+    }
+    *total_gst_out = tg;
+    return 0;
+}
+
+// Pass 2: scatter every entry into the stacked (P, K, L) ELL slabs.
+// Owned entries renumber through g2l; ghost entries find their ghost
+// slot by binary search in the per-part (global-sorted) lookup
+// sorted_g/slot_of (built from ghost_global, which is (owner, global)-
+// sorted and therefore not directly searchable).  own_colidx must be
+// prefilled with the identity pattern; vals slabs with zeros.
+int acg_ell_fill(const int64_t* rowptr, const int32_t* colidx,
+                 const double* data, const int32_t* part,
+                 const int32_t* g2l, int64_t n,
+                 int64_t K_own, int64_t K_gst, int64_t L,
+                 const int64_t* sorted_g, const int64_t* slot_of,
+                 const int64_t* n_ghost, int64_t G,
+                 int32_t* own_colidx, double* own_vals,
+                 int32_t* ghost_colidx, double* ghost_vals) {
+    for (int64_t r = 0; r < n; r++) {
+        const int32_t p = part[r];
+        const int64_t li = g2l[r];
+        const int64_t own_base = ((int64_t)p * K_own) * L + li;
+        const int64_t gst_base = ((int64_t)p * K_gst) * L + li;
+        const int64_t* sg = sorted_g + (int64_t)p * G;
+        const int64_t* so = slot_of + (int64_t)p * G;
+        const int64_t ng = n_ghost[p];
+        const int64_t pad = G - ng;   // -1 pads sort to the front
+        int64_t ko = 0, kg = 0;
+        for (int64_t e = rowptr[r]; e < rowptr[r + 1]; e++) {
+            const int32_t c = colidx[e];
+            if (part[c] == p) {
+                own_colidx[own_base + ko * L] = g2l[c];
+                own_vals[own_base + ko * L] = data[e];
+                ko++;
+            } else {
+                int64_t lo = pad, hi = pad + ng;
+                while (lo < hi) {
+                    const int64_t mid = (lo + hi) >> 1;
+                    if (sg[mid] < c) lo = mid + 1; else hi = mid;
+                }
+                if (lo >= pad + ng || sg[lo] != c) return 1;
+                ghost_colidx[gst_base + kg * L] = (int32_t)so[lo];
+                ghost_vals[gst_base + kg * L] = data[e];
+                kg++;
+            }
+        }
+    }
+    return 0;
+}
+
 }  // extern "C"

@@ -200,6 +200,23 @@ def test_vectorized_matches_loops(N, P, seed):
         np.testing.assert_array_equal(a, b, err_msg=f)
 
 
+@pytest.mark.parametrize("N,P,seed", [(60, 4, 0), (128, 8, 2)])
+def test_numpy_fallback_matches_native(N, P, seed, monkeypatch):
+    """The pure-numpy ELL split (used when the native library is absent)
+    produces the identical PartitionedMatrix."""
+    from acg_tpu import _native
+    rng = np.random.default_rng(seed)
+    A = _random_spd(rng, N)
+    part = rng.integers(0, P, size=N)
+    part[rng.permutation(N)[:P]] = np.arange(P)
+    ref = build_partitioned_matrix(A, part)
+    monkeypatch.setattr(_native, "has_ell_split", lambda: False)
+    fb = build_partitioned_matrix(A, part)
+    for f in FIELDS:
+        np.testing.assert_array_equal(getattr(fb, f), getattr(ref, f),
+                                      err_msg=f)
+
+
 def test_vectorized_contiguous_stencil():
     from acg_tpu.io.generators import dia_to_coo, poisson2d_dia
     offsets, vals = poisson2d_dia(12)
