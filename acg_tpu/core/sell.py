@@ -79,10 +79,28 @@ class SellOperator:
 
     @classmethod
     def from_csr(cls, A, dtype=np.float32, block: int = 16384,
-                 chunk: int = 1024) -> "SellOperator":
-        """Build the chunked-gather layout from a scipy CSR matrix.
+                 chunk: int = 1024,
+                 vmem_budget: int = 12 * 1024 * 1024) -> "SellOperator":
+        """Build the chunked-gather layout, shrinking the row block until
+        the kernel's VMEM working set (double-buffered vals+lidx slabs,
+        the resident x, one output block) fits the budget.  S depends on
+        the block (more rows per block → more distinct chunks → more
+        slots), so this is measure-and-retry on the actual layout."""
+        isz = np.dtype(dtype).itemsize
+        while True:
+            op = cls._from_csr_block(A, dtype, block, chunk)
+            need = (2 * op.S * block * (isz + 4) + op.Nx * isz
+                    + 2 * block * isz)
+            if need <= vmem_budget or block <= 1024:
+                return op
+            block //= 2
 
-        Vectorized (prefix-count machinery, no per-row Python loops)."""
+    @classmethod
+    def _from_csr_block(cls, A, dtype, block: int,
+                        chunk: int) -> "SellOperator":
+        """Build the chunked-gather layout from a scipy CSR matrix at a
+        fixed row-block size (vectorized prefix-count machinery, no
+        per-row Python loops)."""
         A = A.tocsr()
         if not A.has_sorted_indices:
             A = A.copy()

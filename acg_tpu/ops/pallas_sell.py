@@ -34,6 +34,22 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _take_lanes(row: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """take_along_axis(row, idx, axis=1) with int32 indices preserved.
+
+    jnp.take_along_axis casts indices to the default int dtype — int64
+    under jax_enable_x64 — and Mosaic has no 64-bit types; its gather
+    lowering accepts exactly this 2-D along-lanes form
+    (tpu.dynamic_gather), so call lax.gather with the blessed dimension
+    numbers directly."""
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(), collapsed_slice_dims=(1,), start_index_map=(1,),
+        operand_batching_dims=(0,), start_indices_batching_dims=(0,))
+    return jax.lax.gather(
+        row, idx[..., None], dnums, (1, 1),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+
+
 def _sell_kernel(S, T, chunk, x_hbm, cidx_ref, vals_ref, lidx_ref, y_ref,
                  xv, sem):
     i = pl.program_id(0).astype(jnp.int32)
@@ -51,7 +67,7 @@ def _sell_kernel(S, T, chunk, x_hbm, cidx_ref, vals_ref, lidx_ref, y_ref,
         if chunk == 128:
             # window = one 128-lane row: c addresses (C*8, 128) rows
             row = jnp.broadcast_to(xv[c >> 3, c & 7][None, :], (T, 128))
-            g = jnp.take_along_axis(row, idx2, axis=1)
+            g = _take_lanes(row, idx2)
         else:
             # window = one (8, 128) tile: masked 8-way lane-gather
             tile = xv[c]
@@ -60,7 +76,7 @@ def _sell_kernel(S, T, chunk, x_hbm, cidx_ref, vals_ref, lidx_ref, y_ref,
             g = None
             for r in range(8):
                 row = jnp.broadcast_to(tile[r:r + 1, :], (T, 128))
-                gr = jnp.take_along_axis(row, lane, axis=1)
+                gr = _take_lanes(row, lane)
                 g = jnp.where(sub == r, gr, 0.0 if g is None else g)
         t = vals_ref[s, :, :] * g
         acc = t if acc is None else acc + t
