@@ -1,29 +1,43 @@
-"""SELL-C-σ-style chunked-gather operator — the unstructured fast path.
+"""SELL-style per-tile chunked-gather operator — the unstructured fast path.
 
 The reference's merge-based CSR kernel (cg-kernels-cuda.cu:312-441) exists
 to run *arbitrary* sparsity at memory speed with load balance.  The TPU
 has no hardware gather from HBM (measured 0.139 Gnnz/s via XLA gather),
-but Mosaic DOES lower `take_along_axis` within a (8, 128) VMEM tile —
-a 1024-element gather window.  This format exploits that:
+but Mosaic DOES lower a lane-gather within a 128-wide VMEM row
+(tpu.dynamic_gather).  This format exploits that at the finest
+granularity that survives wide-bandwidth matrices:
 
-  * rows are processed in blocks of B;
-  * each nonzero is assigned to the 1024-wide COLUMN CHUNK containing its
-    column: chunk c = col // 1024, lane index l = col % 1024;
-  * per (row block, chunk), entries pack into ELL slots (slot k holds the
-    k-th entry of each row in that chunk; rows with fewer entries pad
-    with value 0 / index 0 — inert by the zero-padding invariant);
-  * the kernel keeps x resident in VMEM (column panels for large N),
-    streams (vals, lidx) slot slabs at 8 B per stored nonzero, and
-    gathers each slot's operands from one VMEM chunk with an 8-way
-    masked lane-gather (ops/pallas_sell.py).
+  * rows are grouped in TILES of 128 (the lane count);
+  * columns are grouped in CHUNKS of 128: chunk c = col // 128, lane
+    l = col % 128;
+  * per (tile, chunk), entries pack into ELL slots: slot k holds the
+    k-th entry-in-that-chunk of each row; K_tc = max over the tile's
+    128 rows.  Slots are allocated in GROUPS of 8 that share one chunk
+    (ceil(K_tc / 8) groups per (tile, chunk)): the kernel broadcasts
+    the chunk's 128 x-values across sublanes once and resolves all
+    8 slots with a single (8, 128) lane-gather — one dynamic row load
+    per group instead of eight (measured 96 → ~16 cycles per group),
+    at the cost of rounding each K_tc up to a multiple of 8.
 
-Fill efficiency (stored slots vs true nnz) is the load-balance metric —
-the analogue of the merge kernel's work balance; `fill` reports it.
+Why per-TILE and chunk 128: coarser granularities explode on RCM'd 3-D
+meshes — measured on a 1.95M-row bandwidth-55k mesh, stored slots are
+2.0G at (tile, 128) but 39.6G at (16384-row block, 128) and 10.6G at
+(block, 1024); and a 1024-wide window needs an 8-way masked gather
+(~5× the VPU ops).  Fill (true nnz / stored slots) is the load-balance
+metric — the analogue of the merge kernel's work split.
 
-Layout arrays (Np = rows padded to B, C = ceil(Nx / 1024)):
-    vals (S, Np) f32/f64   slot slabs, row-aligned like DIA
-    lidx (S, Np) int32     lane index within the chunk, 0..1023
-    cidx (nblocks, S) i32  chunk id per (row block, slot); 0 on padding
+Layout arrays (ntiles = ceil(N / 128) rounded to the kernel's block,
+G = slot groups per tile, S = 8·G stored slots):
+    vals (ntiles, G, 8, 128) f32/f64    group g, sub-slot r, row rho
+    lidx (ntiles, G, 8, 128) int32      lane within the chunk, 0..127
+    cidx (ntiles, G) int32              chunk id per (tile, group); 0 pad
+(leading axis = tile so each kernel block is one CONTIGUOUS region —
+a (G, tiles, …) layout makes the per-step DMA G strided descriptors,
+measured slower than the whole compute)
+
+x is held entirely in VMEM by the kernel (ops/pallas_sell.py); N is
+bounded by the VMEM x budget (~3M rows f32) — column paneling for
+larger N is future work, enforced by an explicit error here.
 """
 
 from __future__ import annotations
@@ -39,33 +53,46 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+# the kernel processes this many row tiles per grid step; ntiles is padded
+# to a multiple so BlockSpecs divide evenly
+BLOCK_TILES = 2
+
+# resident x budget (f32 elements): xv scratch + double-buffered slabs
+# must fit the 16M VMEM; 3M rows of f32 is 12M bytes
+MAX_VMEM_ROWS = 3_000_000
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class SellOperator:
-    vals: jnp.ndarray          # (S, Np//128, 128)
-    lidx: jnp.ndarray          # (S, Np//128, 128) int32, 0..chunk-1
-    cidx: jnp.ndarray          # (nblocks, S) int32 chunk ids
+    vals: jnp.ndarray          # (ntiles, G, 8, 128)
+    lidx: jnp.ndarray          # (ntiles, G, 8, 128) int32, 0..127
+    cidx: jnp.ndarray          # (ntiles, G) int32 chunk ids
     N: int                     # logical rows
-    Nx: int                    # padded x length (multiple of 1024)
-    block: int                 # rows per kernel block (B)
-    chunk: int                 # gather window: 128 or 1024
     nnz_true: int
 
     def tree_flatten(self):
-        return (self.vals, self.lidx, self.cidx), \
-            (self.N, self.Nx, self.block, self.chunk, self.nnz_true)
+        return (self.vals, self.lidx, self.cidx), (self.N, self.nnz_true)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children, *aux)
 
     @property
+    def ntiles(self) -> int:
+        return self.vals.shape[0]
+
+    @property
     def Np(self) -> int:
-        return self.vals.shape[1] * 128
+        return self.ntiles * 128
+
+    @property
+    def G(self) -> int:
+        return self.cidx.shape[1]
 
     @property
     def S(self) -> int:
-        return self.vals.shape[0]
+        return 8 * self.cidx.shape[1]
 
     @property
     def nnz(self) -> int:
@@ -78,122 +105,139 @@ class SellOperator:
         return self.nnz_true / max(self.nnz, 1)
 
     @classmethod
-    def from_csr(cls, A, dtype=np.float32, block: int = 16384,
-                 chunk: int = 1024,
-                 vmem_budget: int = 12 * 1024 * 1024) -> "SellOperator":
-        """Build the chunked-gather layout, shrinking the row block until
-        the kernel's VMEM working set (double-buffered vals+lidx slabs,
-        the resident x, one output block) fits the budget.  S depends on
-        the block (more rows per block → more distinct chunks → more
-        slots), so this is measure-and-retry on the actual layout."""
-        isz = np.dtype(dtype).itemsize
-        while True:
-            op = cls._from_csr_block(A, dtype, block, chunk)
-            need = (2 * op.S * block * (isz + 4) + op.Nx * isz
-                    + 2 * block * isz)
-            if need <= vmem_budget or block <= 1024:
-                return op
-            block //= 2
+    def from_csr(cls, A, dtype=np.float32,
+                 max_stored_bytes: int = 13 * 1024**3) -> "SellOperator":
+        """Build the per-tile chunked-gather layout from a scipy CSR
+        matrix.  Vectorized (run-length machinery, no per-row loops).
 
-    @classmethod
-    def _from_csr_block(cls, A, dtype, block: int,
-                        chunk: int) -> "SellOperator":
-        """Build the chunked-gather layout from a scipy CSR matrix at a
-        fixed row-block size (vectorized prefix-count machinery, no
-        per-row Python loops)."""
+        Raises if the padded layout would exceed ``max_stored_bytes`` on
+        device (vals + lidx resident in HBM) or if x outgrows the
+        kernel's VMEM residency budget."""
         A = A.tocsr()
         if not A.has_sorted_indices:
             A = A.copy()
-            A.sort_indices()   # (row, chunk) runs must be contiguous
+            A.sort_indices()
         N = A.shape[0]
         assert A.shape[1] == N
+        if N > MAX_VMEM_ROWS:
+            raise NotImplementedError(
+                f"SellOperator holds x resident in VMEM; N={N:,} exceeds "
+                f"the {MAX_VMEM_ROWS:,}-row budget (column paneling not "
+                "implemented)")
         rowptr = A.indptr.astype(np.int64)
         col = A.indices.astype(np.int64)
         val = A.data
         nnz = col.shape[0]
-        Np = _round_up(max(N, 1), block)
-        nblocks = Np // block
-        # x is viewed in-kernel as (Nx//1024, 8, 128) VMEM tiles regardless
-        # of the gather window, so Nx is always 1024-aligned
-        Nx = _round_up(max(N, 1), 1024)
+        ntiles = _round_up(max(N, 1), BLOCK_TILES * 128) // 128
+        Cn = _round_up(max(N, 1), 1024) // 128 + 1   # chunk id bound
 
         rowlen = np.diff(rowptr)
         row = np.repeat(np.arange(N, dtype=np.int64), rowlen)
-        blk = row // block
-        c = col // chunk                     # chunk id per entry
-        # rank of each entry within its (row, chunk) group: entries are
-        # CSR-ordered (row asc, col asc) so groups are contiguous runs
-        key_rc = row * (Nx // chunk + 1) + c
+        tile = row >> 7
+        rho = (row & 127).astype(np.int32)
+        c = col >> 7
+        lane = (col & 127).astype(np.int32)
+
+        # rank of each entry within its (row, chunk) run (CSR order makes
+        # runs contiguous)
+        key_rc = row * Cn + c
         run_start = np.ones(nnz, dtype=bool)
         run_start[1:] = key_rc[1:] != key_rc[:-1]
         first = np.nonzero(run_start)[0]
         run_id = np.cumsum(run_start) - 1
         rank = np.arange(nnz, dtype=np.int64) - first[run_id]
 
-        # per (block, chunk): K_bc = max over rows of the group sizes
-        grp_blk = blk[first]
+        # per (tile, chunk): K_tc = max run size over the tile's rows
+        grp_tile = tile[first]
         grp_chunk = c[first]
         grp_size = np.diff(np.concatenate([first, [nnz]]))
-        key_bc = grp_blk * (Nx // chunk + 1) + grp_chunk
-        order = np.argsort(key_bc, kind="stable")
-        kb_sorted = key_bc[order]
-        bc_start = np.ones(len(order), dtype=bool)
-        bc_start[1:] = kb_sorted[1:] != kb_sorted[:-1]
-        bc_first = np.nonzero(bc_start)[0]
-        bc_id_sorted = np.cumsum(bc_start) - 1
-        n_bc = int(bc_id_sorted[-1]) + 1 if len(order) else 0
-        K_bc = np.zeros(n_bc, dtype=np.int64)
-        np.maximum.at(K_bc, bc_id_sorted, grp_size[order])
-        # slot base per (block, chunk), blocks independent
-        bc_blk = grp_blk[order][bc_first]
-        bc_chunk = grp_chunk[order][bc_first]
-        # per block: cumulative slot offsets over its chunks (sorted by
-        # chunk — key_bc order groups by block then chunk)
-        slot_base = np.zeros(n_bc, dtype=np.int64)
-        S_of_block = np.zeros(nblocks, dtype=np.int64)
-        if n_bc:
-            blk_change = np.ones(n_bc, dtype=bool)
-            blk_change[1:] = bc_blk[1:] != bc_blk[:-1]
-            csum = np.cumsum(K_bc) - K_bc          # exclusive
-            base0 = np.zeros(n_bc, dtype=np.int64)
-            base0[blk_change] = csum[blk_change]
+        key_tc = grp_tile * Cn + grp_chunk
+        order = np.argsort(key_tc, kind="stable")
+        kt_sorted = key_tc[order]
+        tc_start = np.ones(len(order), dtype=bool)
+        tc_start[1:] = kt_sorted[1:] != kt_sorted[:-1]
+        tc_first = np.nonzero(tc_start)[0]
+        tc_id_sorted = np.cumsum(tc_start) - 1
+        n_tc = int(tc_id_sorted[-1]) + 1 if len(order) else 0
+        K_tc = np.zeros(n_tc, dtype=np.int64)
+        np.maximum.at(K_tc, tc_id_sorted, grp_size[order])
+        tc_tile = grp_tile[order][tc_first]
+        tc_chunk = grp_chunk[order][tc_first]
+
+        # group count per (tile, chunk) — slots come in same-chunk runs
+        # of 8 so the kernel loads the chunk row once per group
+        Kg_tc = (K_tc + 7) >> 3
+        # group base per (tile, chunk): prefix of Kg_tc within each tile
+        # (key_tc order groups by tile, chunks ascending)
+        group_base = np.zeros(n_tc, dtype=np.int64)
+        G_of_tile = np.zeros(ntiles, dtype=np.int64)
+        if n_tc:
+            tile_change = np.ones(n_tc, dtype=bool)
+            tile_change[1:] = tc_tile[1:] != tc_tile[:-1]
+            csum = np.cumsum(Kg_tc) - Kg_tc          # exclusive
+            base0 = np.zeros(n_tc, dtype=np.int64)
+            base0[tile_change] = csum[tile_change]
             np.maximum.accumulate(base0, out=base0)
-            slot_base = csum - base0
-            ends = np.nonzero(np.concatenate([blk_change[1:], [True]]))[0]
-            np.add.at(S_of_block, bc_blk[ends], slot_base[ends] + K_bc[ends])
-        S = max(int(S_of_block.max()) if nblocks else 0, 1)
+            group_base = csum - base0
+            ends = np.nonzero(np.concatenate([tile_change[1:], [True]]))[0]
+            np.add.at(G_of_tile, tc_tile[ends],
+                      group_base[ends] + Kg_tc[ends])
+        # padded to 8: the kernel unrolls 8 groups per loop iteration
+        G = _round_up(max(int(G_of_tile.max()) if ntiles else 0, 1), 8)
 
-        # map each ENTRY to (slot, row-position)
-        grp_of_entry = run_id
-        bc_of_group = np.empty(len(first), dtype=np.int64)
-        bc_of_group[order] = bc_id_sorted
-        slot = slot_base[bc_of_group[grp_of_entry]] + rank
-        vals_a = np.zeros((S, Np), dtype=dtype)
-        lidx_a = np.zeros((S, Np), dtype=np.int32)
-        cidx_a = np.zeros((nblocks, S), dtype=np.int32)
-        vals_a[slot, row] = val
-        lidx_a[slot, row] = (col % chunk).astype(np.int32)
-        del run_id, rank, key_rc, run_start
-        # chunk table: for every (block, chunk) pair fill its slot range
-        for_blocks = np.repeat(np.arange(n_bc), K_bc)
-        slot_pos = np.arange(len(for_blocks)) - \
-            np.repeat(np.cumsum(K_bc) - K_bc, K_bc)
-        cidx_a[bc_blk[for_blocks], slot_base[for_blocks] + slot_pos] = \
-            bc_chunk[for_blocks].astype(np.int32)
+        isz = np.dtype(dtype).itemsize
+        stored = 8 * G * ntiles * 128
+        need = stored * (isz + 4)
+        if need > max_stored_bytes:
+            raise MemoryError(
+                f"SELL layout would store {stored:,} slots "
+                f"({need / 1e9:.1f} GB, fill {nnz / stored:.3f}) — exceeds "
+                f"max_stored_bytes={max_stored_bytes / 1e9:.1f} GB; the "
+                "matrix is too irregular for the chunked-gather format at "
+                "this scale")
+        # kernel VMEM working set: double-buffered vals+lidx blocks + x
+        vmem = (2 * G * BLOCK_TILES * 1024 * (isz + 4)
+                + _round_up(max(N, 1), 1024) * isz)
+        if vmem > 14 * 1024 * 1024:
+            raise MemoryError(
+                f"SELL kernel working set {vmem / 1e6:.1f} MB exceeds VMEM "
+                f"(G={G} slot groups/tile, N={N:,}); the matrix is too "
+                "irregular/large for the single-chip chunked-gather path — "
+                "partition it across devices instead")
 
-        return cls(vals=jnp.asarray(vals_a.reshape(S, Np // 128, 128)),
-                   lidx=jnp.asarray(lidx_a.reshape(S, Np // 128, 128)),
-                   cidx=jnp.asarray(cidx_a), N=N, Nx=Nx, block=block,
-                   chunk=chunk, nnz_true=int(nnz))
+        # map each entry to its (group, sub-slot) and scatter into the
+        # 4-D slabs: within a (tile, chunk), rank k lands in group
+        # base + k>>3, sub-slot k&7
+        tc_of_group = np.empty(len(first), dtype=np.int64)
+        tc_of_group[order] = tc_id_sorted
+        gb = group_base[tc_of_group[run_id]]
+        g_of = gb + (rank >> 3)
+        r_of = rank & 7
+        vals_a = np.zeros((ntiles, G, 8, 128), dtype=dtype)
+        lidx_a = np.zeros((ntiles, G, 8, 128), dtype=np.int32)
+        flat = (tile * G + g_of) * 1024 + r_of * 128 + rho
+        vals_a.reshape(-1)[flat] = val
+        lidx_a.reshape(-1)[flat] = lane
+        del run_id, rank, key_rc, run_start, flat, gb, g_of, r_of
+
+        # chunk table: per (tile, chunk) fill its group range
+        cidx_a = np.zeros((ntiles, G), dtype=np.int32)
+        rep = np.repeat(np.arange(n_tc), Kg_tc)
+        grp_pos = np.arange(len(rep)) - np.repeat(np.cumsum(Kg_tc) - Kg_tc,
+                                                  Kg_tc)
+        cidx_a[tc_tile[rep], group_base[rep] + grp_pos] = \
+            tc_chunk[rep].astype(np.int32)
+
+        return cls(vals=jnp.asarray(vals_a), lidx=jnp.asarray(lidx_a),
+                   cidx=jnp.asarray(cidx_a), N=N, nnz_true=int(nnz))
 
     # -- SpMV -----------------------------------------------------------------
 
     def spmv(self, x: jnp.ndarray) -> jnp.ndarray:
-        """y = A @ x; x is (Np,) (row-padded); gathers read x padded to
-        Nx.  Uses the chunked-gather Pallas kernel."""
+        """y = A @ x; x is (Np,) (row-padded).  Chunked-gather Pallas
+        kernel with x resident in VMEM."""
         from ..ops.pallas_sell import sell_spmv
-        return sell_spmv(self.vals, self.lidx, self.cidx, x,
-                         self.Nx, self.block, self.chunk)
+        return sell_spmv(self.vals, self.lidx, self.cidx, x)
 
     def flops_per_spmv(self) -> int:
         return 2 * self.nnz_true

@@ -1,26 +1,25 @@
-"""Chunked-gather SpMV kernel for arbitrary sparsity (SELL layout).
+"""Chunked-gather SpMV kernel for arbitrary sparsity (per-tile SELL).
 
 The capability match for the reference's merge-based CSR kernel
 (cg-kernels-cuda.cu:312-441: load-balanced SpMV on arbitrary sparsity).
 TPU vector cores have no HBM gather; what Mosaic DOES lower — fast — is
-`take_along_axis` along the 128-lane axis of a VMEM tile (measured
-181 Gelem/s pure; the sibling probe numbers live in BENCHMARKS.md).
+a 128-lane gather within a VMEM row (tpu.dynamic_gather).
 
-Two gather windows:
-  * chunk = 128: the slot's operands come from one 128-wide column
-    chunk — ONE lane-gather per slot tile (fastest per stored slot).
-  * chunk = 1024: operands from a (8, 128) window — 8-way masked
-    lane-gather (sublane r selected by idx>>7) — ~5× the VPU ops per
-    slot, but needs ~8× fewer chunks so rows pack with less padding.
+Kernel structure (layout in core/sell.py):
+  * x lives ENTIRELY in VMEM (copied once at grid step 0, persistent
+    scratch) viewed as (Cx, 8, 128); chunk c is row (c>>3, c&7);
+  * the grid walks row-tile blocks (BLOCK_TILES tiles per step); the
+    (S8, T, 8, 128) vals/lidx slabs stream through VMEM double-buffered
+    by the BlockSpec pipeline — they are the dominant traffic;
+  * slots are processed 8 at a time: the 8 chunk rows are stacked into
+    one (8, 128) operand and a single along-lanes dynamic_gather
+    resolves all 8 slots' operands; a sublane reduction folds the
+    8 partial products into the tile's 128-row accumulator;
+  * the per-(tile, slot) chunk table is scalar-prefetched to SMEM.
 
-Everything is laid out (…, T, 128) so no in-kernel 1-D↔2-D reshapes
+Everything is laid out (…, 8, 128) so no in-kernel 1-D↔2-D reshapes
 occur (a (16384,) → (128, 128) relayout inside the kernel measured
 ~200× slower than the gather itself).
-
-x is held ENTIRELY in VMEM (copied once at grid step 0, persistent
-scratch) viewed as (C, 8, 128); each ELL slot names its chunk via a
-per-(block, slot) scalar table in SMEM.  For N beyond the VMEM budget,
-callers split into column panels and accumulate partial products.
 """
 
 from __future__ import annotations
@@ -32,6 +31,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from ..core.sell import BLOCK_TILES
 
 
 def _take_lanes(row: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -50,99 +51,152 @@ def _take_lanes(row: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
         mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
 
 
-def _sell_kernel(S, T, chunk, x_hbm, cidx_ref, vals_ref, lidx_ref, y_ref,
-                 xv, sem):
+def _sell_kernel(G, T, Sc, x_hbm, cidx_hbm, vals_ref, lidx_ref, y_ref,
+                 xv, cbuf0, cbuf1, sem, csem):
+    """cidx cannot be a blocked SMEM operand (a (T, S) block violates
+    Mosaic's sublane-divisibility rule for T < 8) and 2-D DMA slices of
+    an HBM memref must be 8-aligned on dim 0, so the chunk table ships
+    as a FLAT (ntiles*Sc,) array (Sc = S padded so T·Sc is a 1024
+    multiple) and the per-block slice is DMA'd HBM→SMEM scratch,
+    double-buffered across grid steps (two buffers + parity predication
+    — the same pattern as the DIA window pipeline)."""
     i = pl.program_id(0).astype(jnp.int32)
+    nblocks = pl.num_programs(0)
+    one, two = jnp.int32(1), jnp.int32(2)
+    slot = jax.lax.rem(i, two)
+    nxt = jax.lax.rem(i + one, two)
+    TSc = jnp.int32(T * Sc)
+
+    def ccopy(blk, buf, s):
+        return pltpu.make_async_copy(
+            cidx_hbm.at[pl.ds(blk * TSc, T * Sc)], buf,
+            csem.at[jnp.int32(s)])
 
     @pl.when(i == 0)
     def _():
         cp = pltpu.make_async_copy(x_hbm, xv, sem)
         cp.start()
+        ccopy(i, cbuf0, 0).start()
         cp.wait()
 
-    acc = None
-    for s in range(S):
-        c = cidx_ref[i, s]
-        idx2 = lidx_ref[s, :, :]                        # (T, 128)
-        if chunk == 128:
-            # window = one 128-lane row: c addresses (C*8, 128) rows
-            row = jnp.broadcast_to(xv[c >> 3, c & 7][None, :], (T, 128))
-            g = _take_lanes(row, idx2)
-        else:
-            # window = one (8, 128) tile: masked 8-way lane-gather
-            tile = xv[c]
-            lane = idx2 & 127
-            sub = idx2 >> 7
-            g = None
-            for r in range(8):
-                row = jnp.broadcast_to(tile[r:r + 1, :], (T, 128))
-                gr = _take_lanes(row, lane)
-                g = jnp.where(sub == r, gr, 0.0 if g is None else g)
-        t = vals_ref[s, :, :] * g
-        acc = t if acc is None else acc + t
-    y_ref[:, :] = acc
+    @pl.when((i + one < nblocks) & (nxt == 0))
+    def _():
+        ccopy(i + one, cbuf0, 0).start()
+
+    @pl.when((i + one < nblocks) & (nxt == 1))
+    def _():
+        ccopy(i + one, cbuf1, 1).start()
+
+    def compute(cidx_ref):
+        for t in range(T):           # static, small (BLOCK_TILES)
+            tbase = jnp.int32(t * Sc)
+
+            def one(g8):
+                # a group's 8 slots share one chunk: broadcast its 128
+                # x-values across sublanes and resolve all 8 slots with
+                # a single lane-gather
+                c = cidx_ref[tbase + g8]
+                row = xv[c >> 3, c & 7][None, :]
+                op2 = jnp.broadcast_to(row, (8, 128))
+                g = _take_lanes(op2, lidx_ref[t, g8])    # (8, 128)
+                contrib = vals_ref[t, g8] * g
+                return jnp.sum(contrib, axis=0)          # (128,) rows
+
+            def body(q, accs):
+                # 8 groups per iteration into 8 INDEPENDENT accumulators:
+                # a single carried acc serializes the whole
+                # gather→mul→reduce→add chain (measured ~87 cycles/group
+                # un-unrolled, ~26 at 4-way — latency- not
+                # throughput-bound)
+                g0 = q * jnp.int32(8)
+                return tuple(a + one(g0 + jnp.int32(k))
+                             for k, a in enumerate(accs))
+            # int32 loop bounds: python-int bounds trace to int64 under
+            # jax_enable_x64 and Mosaic's convert lowering recurses
+            z = jnp.zeros((128,), vals_ref.dtype)
+            accs = jax.lax.fori_loop(
+                jnp.int32(0), jnp.int32(G // 8), body, (z,) * 8)
+            y_ref[t, 0, :] = (((accs[0] + accs[1]) + (accs[2] + accs[3]))
+                              + ((accs[4] + accs[5]) + (accs[6] + accs[7])))
+
+    @pl.when(slot == 0)
+    def _():
+        ccopy(i, cbuf0, 0).wait()
+        compute(cbuf0)
+
+    @pl.when(slot == 1)
+    def _():
+        ccopy(i, cbuf1, 1).wait()
+        compute(cbuf1)
 
 
-@functools.partial(jax.jit, static_argnames=("Nx", "block", "chunk"))
+@jax.jit
 def sell_spmv(vals: jnp.ndarray, lidx: jnp.ndarray, cidx: jnp.ndarray,
-              x: jnp.ndarray, Nx: int, block: int,
-              chunk: int = 1024) -> jnp.ndarray:
+              x: jnp.ndarray) -> jnp.ndarray:
     """y = A @ x for a SellOperator.
 
-    vals/lidx: (S, Np//128, 128); cidx: (nblocks, S) int32; x: (Np,)
-    row-padded (gathers address the first Nx entries)."""
+    vals/lidx: (G, ntiles, 8, 128); cidx: (ntiles, G) int32; x: (Np,)
+    row-padded."""
     if vals.dtype == jnp.float64 and jax.default_backend() != "cpu":
         raise NotImplementedError(
             "Mosaic has no f64 tiling on TPU; build the SellOperator with "
             "dtype=float32 (dot_dtype='mixed' keeps f64-quality reductions)")
-    S = vals.shape[0]
-    Np = vals.shape[1] * 128
-    assert chunk in (128, 1024)
-    assert Np % block == 0 and block % 128 == 0
-    T = block // 128
-    nblocks = Np // block
+    ntiles, G = vals.shape[0], vals.shape[1]
+    assert cidx.shape[1] == G
+    Np = ntiles * 128
+    T = BLOCK_TILES
+    assert ntiles % T == 0
+    nblocks = ntiles // T
+    Nx = -(-Np // 1024) * 1024
     if x.shape[0] < Nx:
         x = jnp.concatenate([x, jnp.zeros((Nx - x.shape[0],), x.dtype)])
     elif x.shape[0] > Nx:
         x = x[:Nx]
     x3 = x.reshape(Nx // 1024, 8, 128)
-    kernel = functools.partial(_sell_kernel, S, T, chunk)
+    # flat chunk table with per-tile stride Sc: T·Sc must be a 1024
+    # multiple for the 1-D DMA slice alignment rule
+    Sc = -(-G // (1024 // T)) * (1024 // T)
+    cidx_flat = jnp.zeros((ntiles, Sc), jnp.int32).at[:, :G].set(cidx) \
+        .reshape(-1)
+    kernel = functools.partial(_sell_kernel, G, T, Sc)
     z32 = np.int32(0)
     try:
         vma = jax.typeof(vals).vma
-        out_shape = jax.ShapeDtypeStruct((Np // 128, 128), vals.dtype,
+        out_shape = jax.ShapeDtypeStruct((ntiles, 1, 128), vals.dtype,
                                          vma=vma)
     except (AttributeError, TypeError):
-        out_shape = jax.ShapeDtypeStruct((Np // 128, 128), vals.dtype)
+        out_shape = jax.ShapeDtypeStruct((ntiles, 1, 128), vals.dtype)
     y2 = pl.pallas_call(
         kernel,
         grid=(nblocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),                 # x3 in HBM
-            # whole table in SMEM (a (1, S) row block violates Mosaic's
-            # sublane-divisibility rule on real hardware); rows are
-            # selected by the grid index inside the kernel
-            pl.BlockSpec((nblocks, S), lambda i: (z32, z32),
-                         memory_space=pltpu.SMEM),             # cidx
-            pl.BlockSpec((S, T, 128), lambda i: (z32, i, z32),
+            # cidx PINNED to HBM: under ANY the compiler may place it in
+            # VMEM, whose tiled memref rejects the (T, S) DMA slice
+            # (dim-0 slices must be 8-aligned); HBM memrefs are untiled
+            pl.BlockSpec(memory_space=pltpu.HBM),              # cidx
+            pl.BlockSpec((T, G, 8, 128), lambda i: (i, z32, z32, z32),
                          memory_space=pltpu.VMEM),             # vals
-            pl.BlockSpec((S, T, 128), lambda i: (z32, i, z32),
+            pl.BlockSpec((T, G, 8, 128), lambda i: (i, z32, z32, z32),
                          memory_space=pltpu.VMEM),             # lidx
         ],
-        out_specs=pl.BlockSpec((T, 128), lambda i: (i, z32),
+        out_specs=pl.BlockSpec((T, 1, 128), lambda i: (i, z32, z32),
                                memory_space=pltpu.VMEM),
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((Nx // 1024, 8, 128), vals.dtype),
+            pltpu.SMEM((T * Sc,), jnp.int32),
+            pltpu.SMEM((T * Sc,), jnp.int32),
             pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * S * Np,
-            bytes_accessed=(S * Np * (vals.dtype.itemsize + 4)
+            flops=2 * 8 * G * Np,
+            bytes_accessed=(8 * G * Np * (vals.dtype.itemsize + 4)
                             + Nx * vals.dtype.itemsize
                             + Np * vals.dtype.itemsize),
             transcendentals=0,
         ),
         interpret=jax.default_backend() == "cpu",
-    )(x3, cidx, vals, lidx)
+    )(x3, cidx_flat, vals, lidx)
     return y2.reshape(Np)

@@ -79,24 +79,28 @@ def build_matrix(nodes: int, seed: int = 7, dofs: int = 3,
     return A
 
 
-def bench_spmv(name, spmv, x, nnz, reps=5):
+def bench_spmv(name, op, x, nnz, reps=5):
+    """``op`` must be a registered pytree (SellOperator/EllOperator are):
+    passing it as a jit ARGUMENT keeps the slot slabs out of the compiled
+    program — closed-over device arrays become jaxpr constants, and a
+    GB-scale constant blows past the compile-request size limit."""
     import jax
 
     def make(iters):
         @jax.jit
-        def run(xx):
+        def run(op_, xx):
             def body(_, v):
-                return spmv(v) * 1e-3
+                return op_.spmv(v) * 1e-3
             return jax.lax.fori_loop(0, iters, body, xx)[0]
         return run
 
     def timed(run):
-        r = run(x)
+        r = run(op, x)
         jax.block_until_ready(r)
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            jax.block_until_ready(run(x))
+            jax.block_until_ready(run(op, x))
             best = min(best, time.perf_counter() - t0)
         return best
 
@@ -117,25 +121,30 @@ def main():
     from acg_tpu.solvers.reference import solve_scipy
 
     small = os.environ.get("ACG_BENCH_CPU") == "1"
-    nodes = int(sys.argv[1]) if len(sys.argv) > 1 else (2000 if small else 650000)
+    # 200k nodes × 3 dofs = 600k rows: the padded SELL layout of the
+    # RCM'd wide-bandwidth mesh stays within the 13 GB stored-slot cap
+    # (stored slots grow ~ bandwidth × N ~ N^(5/3) on 3-D meshes; larger
+    # problems take the distributed path, where partitioning shrinks the
+    # per-device bandwidth)
+    nodes = int(sys.argv[1]) if len(sys.argv) > 1 else (2000 if small else 200000)
     A = build_matrix(nodes)
     N = A.shape[0]
     rng = np.random.default_rng(0)
     xh = rng.standard_normal(N).astype(np.float32)
 
     ref = A @ xh
-    for chunk in (1024, 128):
-        t0 = time.perf_counter()
-        op = SellOperator.from_csr(A, dtype=np.float32, chunk=chunk)
-        tb = time.perf_counter() - t0
-        xp = jnp.zeros((op.Np,), jnp.float32).at[:N].set(jnp.asarray(xh))
-        y = np.asarray(op.spmv(xp))[:N]
-        err = np.linalg.norm(y - ref) / np.linalg.norm(ref)
-        print(f"sell chunk={chunk}: S={op.S} fill={op.fill:.3f} "
-              f"(layout {tb:.1f} s) rel-err {err:.1e}", flush=True)
-        assert err < 1e-4
-        bench_spmv(f"sell-{chunk}", op.spmv, xp, A.nnz)
-        del op, xp
+    t0 = time.perf_counter()
+    op = SellOperator.from_csr(A, dtype=np.float32)
+    tb = time.perf_counter() - t0
+    xp = jnp.zeros((op.Np,), jnp.float32).at[:N].set(jnp.asarray(xh))
+    y = np.asarray(op.spmv(xp))[:N]
+    err = np.linalg.norm(y - ref) / np.linalg.norm(ref)
+    print(f"sell: S={op.S} fill={op.fill:.3f} stored "
+          f"{op.nnz * (op.vals.dtype.itemsize + 4) / 1e9:.1f} GB "
+          f"(layout {tb:.1f} s) rel-err {err:.1e}", flush=True)
+    assert err < 1e-4
+    bench_spmv("sell", op, xp, A.nnz)
+    del op, xp
 
     if not small and N <= 4_200_000:
         # gather-ELL baseline (round-1 fallback): one rep is enough
@@ -146,11 +155,11 @@ def main():
             if hasattr(EllOperator, "from_csr_arrays") else None
         if ell is not None:
             xp = jnp.zeros((ell.Np,), jnp.float32).at[:N].set(jnp.asarray(xh))
-            bench_spmv("gather-ell", ell.spmv, xp, A.nnz, reps=2)
+            bench_spmv("gather-ell", ell, xp, A.nnz, reps=2)
             del ell, xp
 
     # end-to-end CG cross-check vs scipy
-    op = SellOperator.from_csr(A, dtype=np.float32, chunk=1024)
+    op = SellOperator.from_csr(A, dtype=np.float32)
     xstar = rng.standard_normal(N)
     xstar /= np.linalg.norm(xstar)
     b = A @ xstar

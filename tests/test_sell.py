@@ -25,10 +25,9 @@ def spmv_host(op: SellOperator, x: np.ndarray) -> np.ndarray:
     return np.asarray(op.spmv(xp))[:op.N]
 
 
-@pytest.mark.parametrize("chunk", [128, 1024])
-def test_sell_spmv_matches_scipy(rng, chunk):
+def test_sell_spmv_matches_scipy(rng):
     A = random_spd(700, 6, rng)          # shuffled: no band structure
-    op = SellOperator.from_csr(A, dtype=np.float32, block=256, chunk=chunk)
+    op = SellOperator.from_csr(A, dtype=np.float32)
     assert 0.0 < op.fill <= 1.0
     assert op.nnz_true == A.nnz
     x = rng.standard_normal(A.shape[0]).astype(np.float32)
@@ -37,10 +36,9 @@ def test_sell_spmv_matches_scipy(rng, chunk):
     assert np.linalg.norm(y - ref) / np.linalg.norm(ref) < 1e-5
 
 
-@pytest.mark.parametrize("chunk", [128, 1024])
-def test_sell_spmv_f64(rng, chunk):
+def test_sell_spmv_f64(rng):
     A = random_spd(300, 5, rng)
-    op = SellOperator.from_csr(A, dtype=np.float64, block=128, chunk=chunk)
+    op = SellOperator.from_csr(A, dtype=np.float64)
     x = rng.standard_normal(A.shape[0])
     y = spmv_host(op, x)
     assert np.allclose(y, A @ x, rtol=1e-12, atol=1e-12)
@@ -52,7 +50,7 @@ def test_sell_empty_rows_and_nonmultiple_n(rng):
     d = np.arange(1.0, N + 1.0)
     A = sp.diags(d).tocsr() + sp.csr_matrix(
         ([0.5, 0.5], ([0, N - 1], [N - 1, 0])), shape=(N, N))
-    op = SellOperator.from_csr(A, dtype=np.float32, block=128, chunk=128)
+    op = SellOperator.from_csr(A, dtype=np.float32)
     x = rng.standard_normal(N).astype(np.float32)
     y = spmv_host(op, x)
     assert np.allclose(y, A @ x, rtol=1e-5, atol=1e-5)
@@ -66,8 +64,7 @@ def test_sell_wide_column_span(rng):
     vals = np.full(N, 0.25)
     B = sp.csr_matrix((vals, (rows, far)), shape=(N, N))
     A = sp.eye(N).tocsr() * 3.0 + B + B.T
-    op = SellOperator.from_csr(A.tocsr(), dtype=np.float32,
-                               block=256, chunk=1024)
+    op = SellOperator.from_csr(A.tocsr(), dtype=np.float32)
     x = rng.standard_normal(N).astype(np.float32)
     y = spmv_host(op, x)
     ref = A @ x
@@ -77,7 +74,7 @@ def test_sell_wide_column_span(rng):
 def test_sell_cg_solve_matches_scipy(rng):
     A = random_spd(500, 5, rng)
     N = A.shape[0]
-    op = SellOperator.from_csr(A, dtype=np.float64, block=128, chunk=1024)
+    op = SellOperator.from_csr(A, dtype=np.float64)
     xstar = rng.standard_normal(N)
     xstar /= np.linalg.norm(xstar)
     b = A @ xstar
