@@ -58,6 +58,17 @@ def _load():
                 lib.acg_radix_sort_i64.argtypes = [
                     ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
                     ctypes.POINTER(ctypes.c_int64)]
+            if hasattr(lib, "acg_sell_scan"):
+                i64p_ = ctypes.POINTER(ctypes.c_int64)
+                i32p_ = ctypes.POINTER(ctypes.c_int32)
+                lib.acg_sell_scan.restype = ctypes.c_int
+                lib.acg_sell_scan.argtypes = [
+                    i64p_, i32p_, ctypes.c_int64,
+                    i64p_, i32p_, i32p_, i64p_]
+                lib.acg_sell_entries.restype = ctypes.c_int
+                lib.acg_sell_entries.argtypes = [
+                    i64p_, i32p_, ctypes.c_int64, ctypes.c_int64,
+                    i64p_, i32p_]
             if hasattr(lib, "acg_ell_scan"):
                 i64p = ctypes.POINTER(ctypes.c_int64)
                 i32p = ctypes.POINTER(ctypes.c_int32)
@@ -70,7 +81,7 @@ def _load():
                 lib.acg_ell_fill.argtypes = [
                     i64p, i32p, f64p, i32p, i32p, ctypes.c_int64,
                     ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-                    i64p, i64p, i64p, ctypes.c_int64,
+                    i64p, i64p, i64p, ctypes.c_int64, ctypes.c_int64,
                     i32p, f64p, i32p, f64p]
             _LIB = lib
             break
@@ -221,9 +232,57 @@ def ell_fill(rowptr, colidx, data, part, g2l,
         _ptr(g2l, ctypes.c_int32), n,
         K_own, K_gst, L,
         _ptr(sorted_g, ctypes.c_int64), _ptr(slot_of, ctypes.c_int64),
-        _ptr(n_ghost, ctypes.c_int64), G,
+        _ptr(n_ghost, ctypes.c_int64), G, ghost_global.shape[0],
         _ptr(own_colidx, ctypes.c_int32), _ptr(own_vals, ctypes.c_double),
         _ptr(ghost_colidx, ctypes.c_int32), _ptr(ghost_vals, ctypes.c_double))
     if err != 0:
         raise ValueError(f"native ell_fill failed with code {err} "
                          "(ghost plan inconsistency)")
+
+
+def has_sell() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "acg_sell_scan")
+
+
+def sell_scan(rowptr: np.ndarray, colidx: np.ndarray):
+    """Distinct (tile, chunk) pairs in row-scan order with per-pair max
+    run length K (the SELL layout's pass 1).  Returns
+    (tc_tile i64, tc_chunk i32, tc_k i32)."""
+    lib = _load()
+    assert lib is not None and hasattr(lib, "acg_sell_scan")
+    rowptr = np.ascontiguousarray(rowptr, dtype=np.int64)
+    colidx = np.ascontiguousarray(colidx, dtype=np.int32)
+    n = rowptr.shape[0] - 1
+    nnz = int(rowptr[-1])
+    tc_tile = np.empty(nnz, dtype=np.int64)
+    tc_chunk = np.empty(nnz, dtype=np.int32)
+    tc_k = np.empty(nnz, dtype=np.int32)
+    n_tc = ctypes.c_int64(0)
+    err = lib.acg_sell_scan(
+        _ptr(rowptr, ctypes.c_int64), _ptr(colidx, ctypes.c_int32), n,
+        _ptr(tc_tile, ctypes.c_int64), _ptr(tc_chunk, ctypes.c_int32),
+        _ptr(tc_k, ctypes.c_int32), ctypes.byref(n_tc))
+    if err != 0:
+        raise ValueError(f"native sell_scan failed with code {err}")
+    m = n_tc.value
+    return tc_tile[:m].copy(), tc_chunk[:m].copy(), tc_k[:m].copy()
+
+
+def sell_entries(rowptr, colidx, G: int,
+                 group_base: np.ndarray) -> np.ndarray:
+    """Per-entry slab row index fr (slabs viewed as (ntiles·G·8, 128));
+    group_base is per (tile, chunk) pair in sell_scan order."""
+    lib = _load()
+    assert lib is not None and hasattr(lib, "acg_sell_entries")
+    rowptr = np.ascontiguousarray(rowptr, dtype=np.int64)
+    colidx = np.ascontiguousarray(colidx, dtype=np.int32)
+    group_base = np.ascontiguousarray(group_base, dtype=np.int64)
+    n = rowptr.shape[0] - 1
+    fr = np.empty(int(rowptr[-1]), dtype=np.int32)
+    err = lib.acg_sell_entries(
+        _ptr(rowptr, ctypes.c_int64), _ptr(colidx, ctypes.c_int32),
+        n, G, _ptr(group_base, ctypes.c_int64), _ptr(fr, ctypes.c_int32))
+    if err != 0:
+        raise ValueError(f"native sell_entries failed with code {err}")
+    return fr

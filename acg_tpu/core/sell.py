@@ -43,6 +43,7 @@ larger N is future work, enforced by an explicit error here.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -56,6 +57,17 @@ def _round_up(x: int, m: int) -> int:
 # the kernel processes this many row tiles per grid step; ntiles is padded
 # to a multiple so BlockSpecs divide evenly
 BLOCK_TILES = 2
+
+
+@functools.partial(jax.jit, static_argnames=("rows2",))
+def _scatter_slabs(fr, rho, val, lane, rows2: int):
+    """Materialize the (rows2, 128) vals/lidx slabs on device from the
+    per-entry coordinates (unique (fr, rho) pairs by construction)."""
+    vals2 = jnp.zeros((rows2, 128), jnp.float32).at[fr, rho].set(
+        val, unique_indices=True)
+    lidx2 = jnp.zeros((rows2, 128), jnp.int32).at[fr, rho].set(
+        lane, unique_indices=True)
+    return vals2, lidx2
 
 # resident x budget (f32 elements): xv scratch + double-buffered slabs
 # must fit the 16M VMEM; 3M rows of f32 is 12M bytes
@@ -130,6 +142,11 @@ class SellOperator:
         nnz = col.shape[0]
         ntiles = _round_up(max(N, 1), BLOCK_TILES * 128) // 128
         Cn = _round_up(max(N, 1), 1024) // 128 + 1   # chunk id bound
+
+        from .. import _native
+        if _native.has_sell() and np.dtype(dtype) == np.float32 and N > 0:
+            return cls._from_csr_native(A, rowptr, N, nnz, ntiles,
+                                        max_stored_bytes)
 
         rowlen = np.diff(rowptr)
         row = np.repeat(np.arange(N, dtype=np.int64), rowlen)
@@ -229,6 +246,70 @@ class SellOperator:
             tc_chunk[rep].astype(np.int32)
 
         return cls(vals=jnp.asarray(vals_a), lidx=jnp.asarray(lidx_a),
+                   cidx=jnp.asarray(cidx_a), N=N, nnz_true=int(nnz))
+
+    @classmethod
+    def _from_csr_native(cls, A, rowptr, N, nnz, ntiles,
+                         max_stored_bytes) -> "SellOperator":
+        """Layout build through the native streaming passes
+        (acg_sell_scan/acg_sell_fill) — the numpy version's nnz-length
+        argsort/unique machinery measured 418 s at 46M nnz; the C scan
+        is seconds.  Chunks appear per tile in first-appearance order
+        (not ascending) — an equally valid layout; tests compare SpMV
+        results, not raw slabs."""
+        from .. import _native
+        tc_tile, tc_chunk, tc_k = _native.sell_scan(rowptr, A.indices)
+        n_tc = tc_tile.shape[0]
+        Kg = ((tc_k.astype(np.int64) + 7) >> 3)
+        tile_change = np.ones(n_tc, dtype=bool)
+        tile_change[1:] = tc_tile[1:] != tc_tile[:-1]
+        csum = np.cumsum(Kg) - Kg
+        base0 = np.zeros(n_tc, dtype=np.int64)
+        base0[tile_change] = csum[tile_change]
+        np.maximum.accumulate(base0, out=base0)
+        group_base = csum - base0
+        G_of_tile = np.zeros(ntiles, dtype=np.int64)
+        ends = np.nonzero(np.concatenate([tile_change[1:], [True]]))[0]
+        np.add.at(G_of_tile, tc_tile[ends], group_base[ends] + Kg[ends])
+        G = _round_up(max(int(G_of_tile.max()), 1), 8)
+
+        isz = 4
+        stored = 8 * G * ntiles * 128
+        need = stored * (isz + 4)
+        if need > max_stored_bytes:
+            raise MemoryError(
+                f"SELL layout would store {stored:,} slots "
+                f"({need / 1e9:.1f} GB, fill {nnz / stored:.3f}) — exceeds "
+                f"max_stored_bytes={max_stored_bytes / 1e9:.1f} GB; the "
+                "matrix is too irregular for the chunked-gather format at "
+                "this scale")
+        vmem = (2 * G * BLOCK_TILES * 1024 * (isz + 4)
+                + _round_up(max(N, 1), 1024) * isz)
+        if vmem > 14 * 1024 * 1024:
+            raise MemoryError(
+                f"SELL kernel working set {vmem / 1e6:.1f} MB exceeds VMEM "
+                f"(G={G} slot groups/tile, N={N:,}); the matrix is too "
+                "irregular/large for the single-chip chunked-gather path — "
+                "partition it across devices instead")
+
+        # per-entry slab coordinates on the host, slab MATERIALIZATION on
+        # the device: shipping the padded slabs through the device tunnel
+        # measured 233 s (12.3 GB) at 46M nnz vs ~0.7 GB of entry arrays
+        fr = _native.sell_entries(rowptr, A.indices, G, group_base)
+        rho = np.repeat(np.arange(N, dtype=np.int32),
+                        np.diff(rowptr)) & np.int32(127)
+        lane = (A.indices & 127).astype(np.int32)
+        val = A.data.astype(np.float32)
+        rows2 = ntiles * G * 8
+        vals2, lidx2 = _scatter_slabs(
+            jnp.asarray(fr), jnp.asarray(rho), jnp.asarray(val),
+            jnp.asarray(lane), rows2)
+        cidx_a = np.zeros((ntiles, G), dtype=np.int32)
+        rep = np.repeat(np.arange(n_tc), Kg)
+        pos = np.arange(len(rep)) - np.repeat(csum, Kg)
+        cidx_a[tc_tile[rep], group_base[rep] + pos] = tc_chunk[rep]
+        return cls(vals=vals2.reshape(ntiles, G, 8, 128),
+                   lidx=lidx2.reshape(ntiles, G, 8, 128),
                    cidx=jnp.asarray(cidx_a), N=N, nnz_true=int(nnz))
 
     # -- SpMV -----------------------------------------------------------------

@@ -802,4 +802,97 @@ int acg_ell_fill(const int64_t* rowptr, const int32_t* colidx,
     return 0;
 }
 
+// ---------------------------------------------------------------------------
+// SELL per-tile layout build (core/sell.py's hot passes): one streaming
+// scan emits the (tile, chunk) -> K table; the fill pass scatters every
+// entry into the (ntiles, G, 8, 128) slabs.  The numpy version of this
+// (argsort/unique over nnz-length arrays) measured 418 s at 46M nnz.
+
+// Pass 1: distinct (tile, chunk) pairs in row-scan order with the max
+// per-row run length K.  Tables must have capacity nnz.
+int acg_sell_scan(const int64_t* rowptr, const int32_t* colidx, int64_t n,
+                  int64_t* tc_tile, int32_t* tc_chunk, int32_t* tc_k,
+                  int64_t* n_tc_out) {
+    int64_t n_tc = 0;
+    const int64_t ntiles = (n + 127) >> 7;
+    // per-tile chunk map: chunk -> table index, reset per tile via stamps
+    std::vector<int64_t> stamp;     // chunk -> last tile that touched it
+    std::vector<int64_t> slot;      // chunk -> table index for that tile
+    const int64_t nchunks = (n + 127) >> 7;
+    stamp.assign(nchunks, -1);
+    slot.assign(nchunks, 0);
+    for (int64_t t = 0; t < ntiles; t++) {
+        const int64_t r1 = std::min((t + 1) << 7, n);
+        for (int64_t r = t << 7; r < r1; r++) {
+            int64_t e = rowptr[r];
+            const int64_t e1 = rowptr[r + 1];
+            while (e < e1) {
+                const int32_t c = colidx[e] >> 7;
+                int64_t run = 1;
+                while (e + run < e1 && (colidx[e + run] >> 7) == c) run++;
+                if (stamp[c] != t) {
+                    stamp[c] = t;
+                    slot[c] = n_tc;
+                    tc_tile[n_tc] = t;
+                    tc_chunk[n_tc] = c;
+                    tc_k[n_tc] = (int32_t)run;
+                    n_tc++;
+                } else if ((int32_t)run > tc_k[slot[c]]) {
+                    tc_k[slot[c]] = (int32_t)run;
+                }
+                e += run;
+            }
+        }
+    }
+    *n_tc_out = n_tc;
+    return 0;
+}
+
+// Pass 2: per-entry slab ROW index fr = (tile·G + group)·8 + sub-slot
+// (the slabs viewed as (ntiles·G·8, 128) rows; the lane within the row
+// is rho = row & 127).  group_base maps each (tile, chunk) pair — in
+// the SAME scan order as pass 1, so the same stamp walk reproduces the
+// table indices — to its first group.  The actual slab materialization
+// happens ON DEVICE (a jitted scatter): shipping the padded slabs
+// through the device tunnel measured 233 s at 46M nnz / 12.3 GB padded,
+// vs ~0.7 GB for the entry arrays.
+int acg_sell_entries(const int64_t* rowptr, const int32_t* colidx,
+                     int64_t n, int64_t G, const int64_t* group_base,
+                     int32_t* fr) {
+    const int64_t ntiles = (n + 127) >> 7;
+    const int64_t nchunks = (n + 127) >> 7;
+    std::vector<int64_t> stamp(nchunks, -1), slot(nchunks, 0);
+    int64_t tc = 0;
+    for (int64_t t = 0; t < ntiles; t++) {
+        const int64_t r1 = std::min((t + 1) << 7, n);
+        // first sweep of the tile establishes this tile's chunk->base
+        // mapping in scan order (matching pass 1's enumeration)
+        for (int64_t r = t << 7; r < r1; r++) {
+            int64_t e = rowptr[r];
+            const int64_t e1 = rowptr[r + 1];
+            while (e < e1) {
+                const int64_t c = colidx[e] >> 7;
+                int64_t run = 1;
+                while (e + run < e1 && (colidx[e + run] >> 7) == c) run++;
+                if (stamp[c] != t) {
+                    stamp[c] = t;
+                    slot[c] = group_base[tc++];
+                }
+                e += run;
+            }
+        }
+        for (int64_t r = t << 7; r < r1; r++) {
+            int64_t prev_c = -1, rank = 0;
+            for (int64_t e = rowptr[r]; e < rowptr[r + 1]; e++) {
+                const int64_t c = colidx[e] >> 7;
+                rank = (c == prev_c) ? rank + 1 : 0;
+                prev_c = c;
+                const int64_t g = slot[c] + (rank >> 3);
+                fr[e] = (int32_t)((t * G + g) * 8 + (rank & 7));
+            }
+        }
+    }
+    return 0;
+}
+
 }  // extern "C"

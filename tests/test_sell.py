@@ -84,3 +84,22 @@ def test_sell_cg_solve_matches_scipy(rng):
     assert np.linalg.norm(x - xstar) < 1e-7
     xs, _ = solve_scipy(A, b, opt=opt)
     assert np.linalg.norm(x - xs) < 1e-6
+
+
+def test_native_layout_matches_numpy_fallback(rng, monkeypatch):
+    """The native layout build (first-appearance chunk order) and the
+    numpy fallback (ascending chunk order) are different valid layouts
+    of the same matrix — their SpMV results must agree exactly."""
+    from acg_tpu import _native
+    if not _native.has_sell():
+        pytest.skip("native library not built")
+    A = random_spd(700, 6, rng)
+    op_nat = SellOperator.from_csr(A, dtype=np.float32)
+    monkeypatch.setattr(_native, "has_sell", lambda: False)
+    op_py = SellOperator.from_csr(A, dtype=np.float32)
+    assert op_nat.G == op_py.G          # same group multiset per tile
+    assert op_nat.nnz_true == op_py.nnz_true
+    x = rng.standard_normal(A.shape[0]).astype(np.float32)
+    ya, yb = spmv_host(op_nat, x), spmv_host(op_py, x)
+    np.testing.assert_allclose(ya, yb, rtol=1e-5,
+                               atol=1e-5 * np.linalg.norm(yb))
