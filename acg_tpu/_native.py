@@ -67,7 +67,7 @@ def _load():
                     i64p_, i32p_, i32p_, i64p_]
                 lib.acg_sell_entries.restype = ctypes.c_int
                 lib.acg_sell_entries.argtypes = [
-                    i64p_, i32p_, ctypes.c_int64, ctypes.c_int64,
+                    i64p_, i32p_, ctypes.c_int64, i64p_,
                     i64p_, i32p_]
             if hasattr(lib, "acg_ell_scan"):
                 i64p = ctypes.POINTER(ctypes.c_int64)
@@ -269,20 +269,24 @@ def sell_scan(rowptr: np.ndarray, colidx: np.ndarray):
     return tc_tile[:m].copy(), tc_chunk[:m].copy(), tc_k[:m].copy()
 
 
-def sell_entries(rowptr, colidx, G: int,
+def sell_entries(rowptr, colidx, tile_base: np.ndarray,
                  group_base: np.ndarray) -> np.ndarray:
-    """Per-entry slab row index fr (slabs viewed as (ntiles·G·8, 128));
-    group_base is per (tile, chunk) pair in sell_scan order."""
+    """Per-entry slab row index fr = (tile_base[t] + g)·8 + sub-slot
+    (slabs viewed as flat (·, 128) rows; tile_base places sorted tiles
+    contiguously with per-bucket strides); group_base is per
+    (tile, chunk) pair in sell_scan order."""
     lib = _load()
     assert lib is not None and hasattr(lib, "acg_sell_entries")
     rowptr = np.ascontiguousarray(rowptr, dtype=np.int64)
     colidx = np.ascontiguousarray(colidx, dtype=np.int32)
+    tile_base = np.ascontiguousarray(tile_base, dtype=np.int64)
     group_base = np.ascontiguousarray(group_base, dtype=np.int64)
     n = rowptr.shape[0] - 1
     fr = np.empty(int(rowptr[-1]), dtype=np.int32)
     err = lib.acg_sell_entries(
         _ptr(rowptr, ctypes.c_int64), _ptr(colidx, ctypes.c_int32),
-        n, G, _ptr(group_base, ctypes.c_int64), _ptr(fr, ctypes.c_int32))
+        n, _ptr(tile_base, ctypes.c_int64),
+        _ptr(group_base, ctypes.c_int64), _ptr(fr, ctypes.c_int32))
     if err != 0:
         raise ValueError(f"native sell_entries failed with code {err}")
     return fr

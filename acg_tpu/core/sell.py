@@ -77,22 +77,35 @@ MAX_VMEM_ROWS = 3_000_000
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class SellOperator:
-    vals: jnp.ndarray          # (ntiles, G, 8, 128)
-    lidx: jnp.ndarray          # (ntiles, G, 8, 128) int32, 0..127
-    cidx: jnp.ndarray          # (ntiles, G) int32 chunk ids
+    """Row tiles are SORTED by their group count and bucketed: each
+    bucket stores its tiles at the bucket's own G (instead of padding
+    every tile to the global max — measured 44% wasted slots on a
+    600k-row mesh).  ``tile_order[s]`` is the original tile at sorted
+    position s; the column space (x, chunk ids) is untouched, so only
+    the SpMV OUTPUT rows come back tile-permuted and one device scatter
+    restores them."""
+    vals: tuple                # per bucket (ntiles_b, G_b, 8, 128)
+    lidx: tuple                # per bucket (ntiles_b, G_b, 8, 128) int32
+    cidx: tuple                # per bucket (ntiles_b, G_b) int32 chunk ids
+    tile_order: jnp.ndarray    # (ntiles,) original tile per sorted slot
     N: int                     # logical rows
     nnz_true: int
 
     def tree_flatten(self):
-        return (self.vals, self.lidx, self.cidx), (self.N, self.nnz_true)
+        return (self.vals, self.lidx, self.cidx, self.tile_order), \
+            (self.N, self.nnz_true)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children, *aux)
 
     @property
+    def dtype(self):
+        return self.vals[0].dtype
+
+    @property
     def ntiles(self) -> int:
-        return self.vals.shape[0]
+        return sum(v.shape[0] for v in self.vals)
 
     @property
     def Np(self) -> int:
@@ -100,16 +113,19 @@ class SellOperator:
 
     @property
     def G(self) -> int:
-        return self.cidx.shape[1]
+        """Largest bucket group count (the VMEM-limiting one)."""
+        return max(c.shape[1] for c in self.cidx)
 
     @property
     def S(self) -> int:
-        return 8 * self.cidx.shape[1]
+        """Average stored slots per row (rounded up)."""
+        return -(-self.nnz // self.Np)
 
     @property
     def nnz(self) -> int:
         """Stored slots (the SpMV work measure, incl. padding)."""
-        return self.S * self.Np
+        return sum(8 * c.shape[1] * v.shape[0] * 128
+                   for c, v in zip(self.cidx, self.vals))
 
     @property
     def fill(self) -> float:
@@ -245,8 +261,11 @@ class SellOperator:
         cidx_a[tc_tile[rep], group_base[rep] + grp_pos] = \
             tc_chunk[rep].astype(np.int32)
 
-        return cls(vals=jnp.asarray(vals_a), lidx=jnp.asarray(lidx_a),
-                   cidx=jnp.asarray(cidx_a), N=N, nnz_true=int(nnz))
+        # single bucket (the fallback skips tile sorting)
+        return cls(vals=(jnp.asarray(vals_a),), lidx=(jnp.asarray(lidx_a),),
+                   cidx=(jnp.asarray(cidx_a),),
+                   tile_order=jnp.arange(ntiles, dtype=jnp.int32),
+                   N=N, nnz_true=int(nnz))
 
     @classmethod
     def _from_csr_native(cls, A, rowptr, N, nnz, ntiles,
@@ -271,10 +290,35 @@ class SellOperator:
         G_of_tile = np.zeros(ntiles, dtype=np.int64)
         ends = np.nonzero(np.concatenate([tile_change[1:], [True]]))[0]
         np.add.at(G_of_tile, tc_tile[ends], group_base[ends] + Kg[ends])
-        G = _round_up(max(int(G_of_tile.max()), 1), 8)
+
+        # --- G-bucketed tile layout -----------------------------------
+        # sort tiles by group count and give each bucket its own padded
+        # G_b: padding every tile to the global max wastes ~44% of the
+        # stored slots on meshes with the measured G spread (p50 77 vs
+        # max 137)
+        NB = 8
+        sort_order = np.argsort(G_of_tile, kind="stable")
+        per = _round_up(-(-ntiles // NB), BLOCK_TILES)
+        starts = list(range(0, ntiles, per)) + [ntiles]
+        buckets = [(starts[i], starts[i + 1])
+                   for i in range(len(starts) - 1)
+                   if starts[i] < starts[i + 1]]
+        G_b = [int(_round_up(max(int(G_of_tile[sort_order[s:e]].max()), 1),
+                             8)) for s, e in buckets]
+        # flat slab-row base per ORIGINAL tile (sorted tiles contiguous,
+        # bucket stride G_b)
+        tile_base = np.empty(ntiles, dtype=np.int64)
+        row_start = []
+        acc = 0
+        for (s, e), g in zip(buckets, G_b):
+            row_start.append(acc)
+            tile_base[sort_order[s:e]] = acc + np.arange(e - s,
+                                                         dtype=np.int64) * g
+            acc += (e - s) * g
+        rows_total = acc
 
         isz = 4
-        stored = 8 * G * ntiles * 128
+        stored = 8 * rows_total * 128
         need = stored * (isz + 4)
         if need > max_stored_bytes:
             raise MemoryError(
@@ -283,47 +327,71 @@ class SellOperator:
                 f"max_stored_bytes={max_stored_bytes / 1e9:.1f} GB; the "
                 "matrix is too irregular for the chunked-gather format at "
                 "this scale")
-        vmem = (2 * G * BLOCK_TILES * 1024 * (isz + 4)
+        vmem = (2 * max(G_b) * BLOCK_TILES * 1024 * (isz + 4)
                 + _round_up(max(N, 1), 1024) * isz)
         if vmem > 14 * 1024 * 1024:
             raise MemoryError(
                 f"SELL kernel working set {vmem / 1e6:.1f} MB exceeds VMEM "
-                f"(G={G} slot groups/tile, N={N:,}); the matrix is too "
-                "irregular/large for the single-chip chunked-gather path — "
-                "partition it across devices instead")
+                f"(G={max(G_b)} slot groups/tile, N={N:,}); the matrix is "
+                "too irregular/large for the single-chip chunked-gather "
+                "path — partition it across devices instead")
 
         # per-entry slab coordinates on the host, slab MATERIALIZATION on
         # the device: shipping the padded slabs through the device tunnel
         # measured 233 s (12.3 GB) at 46M nnz vs ~0.7 GB of entry arrays
-        fr = _native.sell_entries(rowptr, A.indices, G, group_base)
+        fr = _native.sell_entries(rowptr, A.indices, tile_base, group_base)
         rho = np.repeat(np.arange(N, dtype=np.int32),
                         np.diff(rowptr)) & np.int32(127)
         lane = (A.indices & 127).astype(np.int32)
         val = A.data.astype(np.float32)
-        rows2 = ntiles * G * 8
         vals2, lidx2 = _scatter_slabs(
             jnp.asarray(fr), jnp.asarray(rho), jnp.asarray(val),
-            jnp.asarray(lane), rows2)
-        cidx_a = np.zeros((ntiles, G), dtype=np.int32)
+            jnp.asarray(lane), rows_total * 8)
+
+        # chunk tables per bucket (tiles in sorted order)
+        inv = np.empty(ntiles, dtype=np.int64)
+        inv[sort_order] = np.arange(ntiles)
         rep = np.repeat(np.arange(n_tc), Kg)
         pos = np.arange(len(rep)) - np.repeat(csum, Kg)
-        cidx_a[tc_tile[rep], group_base[rep] + pos] = tc_chunk[rep]
-        return cls(vals=vals2.reshape(ntiles, G, 8, 128),
-                   lidx=lidx2.reshape(ntiles, G, 8, 128),
-                   cidx=jnp.asarray(cidx_a), N=N, nnz_true=int(nnz))
+        pair_tile_sorted = inv[tc_tile[rep]]
+        pair_g = group_base[rep] + pos
+        vals_t, lidx_t, cidx_t = [], [], []
+        for (s, e), g, rs in zip(buckets, G_b, row_start):
+            nb = e - s
+            cidx_a = np.zeros((nb, g), dtype=np.int32)
+            sel = (pair_tile_sorted >= s) & (pair_tile_sorted < e)
+            cidx_a[pair_tile_sorted[sel] - s, pair_g[sel]] = \
+                tc_chunk[rep[sel]]
+            vals_t.append(vals2[rs * 8:(rs + nb * g) * 8]
+                          .reshape(nb, g, 8, 128))
+            lidx_t.append(lidx2[rs * 8:(rs + nb * g) * 8]
+                          .reshape(nb, g, 8, 128))
+            cidx_t.append(jnp.asarray(cidx_a))
+        return cls(vals=tuple(vals_t), lidx=tuple(lidx_t),
+                   cidx=tuple(cidx_t),
+                   tile_order=jnp.asarray(sort_order.astype(np.int32)),
+                   N=N, nnz_true=int(nnz))
 
     # -- SpMV -----------------------------------------------------------------
 
     def spmv(self, x: jnp.ndarray) -> jnp.ndarray:
-        """y = A @ x; x is (Np,) (row-padded).  Chunked-gather Pallas
-        kernel with x resident in VMEM."""
+        """y = A @ x; x is (Np,) (row-padded, ORIGINAL order — columns
+        are never permuted).  One chunked-gather Pallas call per bucket
+        (x resident in VMEM each); the outputs cover the sorted tiles
+        and one unique-index scatter restores the original row order."""
         from ..ops.pallas_sell import sell_spmv
-        return sell_spmv(self.vals, self.lidx, self.cidx, x)
+        Nx = _round_up(max(self.N, 1), 1024)
+        ys = [sell_spmv(v, l, c, x, Nx).reshape(-1, 128)
+              for v, l, c in zip(self.vals, self.lidx, self.cidx)]
+        y_sorted = ys[0] if len(ys) == 1 else jnp.concatenate(ys, axis=0)
+        y = jnp.zeros_like(y_sorted).at[self.tile_order].set(
+            y_sorted, unique_indices=True)
+        return y.reshape(-1)
 
     def flops_per_spmv(self) -> int:
         return 2 * self.nnz_true
 
     def bytes_per_spmv(self) -> int:
-        isz = self.vals.dtype.itemsize
-        return self.vals.size * isz + self.lidx.size * 4 + \
-            2 * self.Np * isz
+        isz = self.vals[0].dtype.itemsize
+        return sum(v.size for v in self.vals) * isz \
+            + sum(l.size for l in self.lidx) * 4 + 2 * self.Np * isz

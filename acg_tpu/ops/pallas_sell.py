@@ -130,13 +130,15 @@ def _sell_kernel(G, T, Sc, x_hbm, cidx_hbm, vals_ref, lidx_ref, y_ref,
         compute(cbuf1)
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("Nx",))
 def sell_spmv(vals: jnp.ndarray, lidx: jnp.ndarray, cidx: jnp.ndarray,
-              x: jnp.ndarray) -> jnp.ndarray:
-    """y = A @ x for a SellOperator.
+              x: jnp.ndarray, Nx: int) -> jnp.ndarray:
+    """y = A @ x for one SellOperator bucket.
 
-    vals/lidx: (G, ntiles, 8, 128); cidx: (ntiles, G) int32; x: (Np,)
-    row-padded."""
+    vals/lidx: (ntiles_b, G, 8, 128); cidx: (ntiles_b, G) int32; x is
+    the FULL column-space vector, padded/truncated here to Nx (the
+    1024-aligned column count) — bucket row counts and the column space
+    are independent."""
     if vals.dtype == jnp.float64 and jax.default_backend() != "cpu":
         raise NotImplementedError(
             "Mosaic has no f64 tiling on TPU; build the SellOperator with "
@@ -147,7 +149,6 @@ def sell_spmv(vals: jnp.ndarray, lidx: jnp.ndarray, cidx: jnp.ndarray,
     T = BLOCK_TILES
     assert ntiles % T == 0
     nblocks = ntiles // T
-    Nx = -(-Np // 1024) * 1024
     if x.shape[0] < Nx:
         x = jnp.concatenate([x, jnp.zeros((Nx - x.shape[0],), x.dtype)])
     elif x.shape[0] > Nx:

@@ -662,7 +662,9 @@ def solve(op, b: np.ndarray, x0: np.ndarray | None = None,
     if method not in METHODS:
         raise ValueError(f"unknown method {method!r}; expected one of {METHODS}")
     N, Np = op.N, op.Np
-    vdtype = op.vals.dtype if hasattr(op, "vals") else jnp.float64
+    vdtype = getattr(op, "dtype", None)
+    if vdtype is None:
+        vdtype = op.vals.dtype if hasattr(op, "vals") else jnp.float64
     bp = jnp.zeros((Np,), vdtype).at[:N].set(jnp.asarray(b, vdtype))
     if x0 is None:
         x0p = jnp.zeros((Np,), vdtype)

@@ -856,8 +856,12 @@ int acg_sell_scan(const int64_t* rowptr, const int32_t* colidx, int64_t n,
 // happens ON DEVICE (a jitted scatter): shipping the padded slabs
 // through the device tunnel measured 233 s at 46M nnz / 12.3 GB padded,
 // vs ~0.7 GB for the entry arrays.
+// tile_base[t] = first slab row block of tile t (bucketed layouts place
+// sorted tiles contiguously with per-bucket G strides; the flat slab
+// row is tile_base[t] + g).
 int acg_sell_entries(const int64_t* rowptr, const int32_t* colidx,
-                     int64_t n, int64_t G, const int64_t* group_base,
+                     int64_t n, const int64_t* tile_base,
+                     const int64_t* group_base,
                      int32_t* fr) {
     const int64_t ntiles = (n + 127) >> 7;
     const int64_t nchunks = (n + 127) >> 7;
@@ -888,7 +892,7 @@ int acg_sell_entries(const int64_t* rowptr, const int32_t* colidx,
                 rank = (c == prev_c) ? rank + 1 : 0;
                 prev_c = c;
                 const int64_t g = slot[c] + (rank >> 3);
-                fr[e] = (int32_t)((t * G + g) * 8 + (rank & 7));
+                fr[e] = (int32_t)((tile_base[t] + g) * 8 + (rank & 7));
             }
         }
     }

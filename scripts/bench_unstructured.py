@@ -140,7 +140,7 @@ def main():
     y = np.asarray(op.spmv(xp))[:N]
     err = np.linalg.norm(y - ref) / np.linalg.norm(ref)
     print(f"sell: S={op.S} fill={op.fill:.3f} stored "
-          f"{op.nnz * (op.vals.dtype.itemsize + 4) / 1e9:.1f} GB "
+          f"{op.nnz * (op.dtype.itemsize + 4) / 1e9:.1f} GB "
           f"(layout {tb:.1f} s) rel-err {err:.1e}", flush=True)
     assert err < 1e-4
     bench_spmv("sell", op, xp, A.nnz)

@@ -20,8 +20,8 @@ from test_unstructured import random_spd
 
 
 def spmv_host(op: SellOperator, x: np.ndarray) -> np.ndarray:
-    xp = jnp.zeros((op.Np,), op.vals.dtype).at[:len(x)].set(
-        jnp.asarray(x, op.vals.dtype))
+    dt = op.vals[0].dtype
+    xp = jnp.zeros((op.Np,), dt).at[:len(x)].set(jnp.asarray(x, dt))
     return np.asarray(op.spmv(xp))[:op.N]
 
 
