@@ -88,7 +88,11 @@ def parse_trace_events(trace_dir: str) -> dict[str, tuple[float, int]]:
         if e.get("ph") != "X":
             continue
         args = e.get("args") or {}
-        op = args.get("hlo_op")
+        # XLA:CPU labels events with args.hlo_op; the TPU runtime puts
+        # the HLO instruction name directly in the event name (host
+        # python events also land here, but they never match an HLO
+        # instruction in the join, so they are harmless)
+        op = args.get("hlo_op") or e.get("name")
         if not op:
             continue
         a = acc[op]
