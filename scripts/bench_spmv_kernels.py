@@ -70,6 +70,14 @@ def bench_case(name, offsets, vals):
     bytes_spmv = (K * Np + 2 * Np) * isz
     roof = bytes_spmv / (HBM_GBPS * 1e9)
 
+    # The timed loop iterates y = A_s y with A_s = A / (max row 1-norm + 1)
+    # — spectral radius < 1, so the power iteration stays bounded WITHOUT
+    # an elementwise scale pass inside the loop (which would add 2N
+    # uncounted f32 streams per iteration: +29% traffic on K=5, +7% on
+    # K=27, deflating the reported kernel efficiency).
+    rowsum = float(np.abs(np.asarray(op.vals)).sum(axis=0).max())
+    vals_s = (op.vals * np.float32(1.0 / (rowsum + 1.0))).block_until_ready()
+
     for kname, fn in kernels.items():
         y = np.asarray(fn(op.vals, x))
         err = np.linalg.norm(y - y_ref) / np.linalg.norm(y_ref)
@@ -79,17 +87,17 @@ def bench_case(name, offsets, vals):
             @jax.jit
             def run(v, x0):
                 def body(_, xx):
-                    return fn(v, xx) * jnp.float32(0.05)
+                    return fn(v, xx)
                 return jax.lax.fori_loop(0, iters, body, x0)[0]
             return run
 
         def timed(run, reps=5):
-            r = run(op.vals, x)
+            r = run(vals_s, x)
             jax.block_until_ready(r)
             best = float("inf")
             for _ in range(reps):
                 t0 = time.perf_counter()
-                r = run(op.vals, x)
+                r = run(vals_s, x)
                 jax.block_until_ready(r)
                 best = min(best, time.perf_counter() - t0)
             return best
