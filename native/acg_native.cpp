@@ -322,7 +322,9 @@ static int64_t hem_match(const int64_t* rowptr, const int32_t* colidx,
         for (int64_t e = rowptr[u]; e < rowptr[u + 1]; e++) {
             int64_t v = colidx[e];
             if (v == u || match[v] >= 0) continue;
-            int64_t w = ewgt ? ewgt[e] : 1;
+            if (!ewgt) { best = v; break; }   // unit weights: first
+                                              // unmatched IS maximal
+            int64_t w = ewgt[e];
             if (w > bestw) { bestw = w; best = v; }
         }
         if (best >= 0) { match[u] = best; match[best] = u; }
@@ -360,28 +362,16 @@ static MLGraph contract(const int64_t* rowptr, const int32_t* colidx,
         cg.vwgt[cmap[u]] += vwgt ? vwgt[u] : 1;
 
     std::vector<int64_t> mark(nc, -1);
-    // pass 1: count distinct coarse neighbours per coarse row
-    cg.rowptr.assign(nc + 1, 0);
-    for (int64_t cu = 0; cu < nc; cu++) {
-        int64_t cnt = 0;
-        for (int64_t ci = cstart[cu]; ci < cstart[cu + 1]; ci++) {
-            int64_t u = child[ci];
-            for (int64_t e = rowptr[u]; e < rowptr[u + 1]; e++) {
-                int64_t cv = cmap[colidx[e]];
-                if (cv == cu || mark[cv] == cu) continue;
-                mark[cv] = cu;
-                cnt++;
-            }
-        }
-        cg.rowptr[cu + 1] = cg.rowptr[cu] + cnt;
-    }
-    cg.colidx.assign(cg.rowptr[nc], 0);
-    cg.ewgt.assign(cg.rowptr[nc], 0);
-    // pass 2: fill with accumulated weights (fresh stamps via pos array)
-    std::fill(mark.begin(), mark.end(), -1);
     std::vector<int64_t> pos(nc, 0);
+    // single pass: emit deduped coarse adjacency into arrays
+    // over-allocated to the fine nnz, then shrink.  (The earlier
+    // count-then-fill two-pass variant scans the fine edges twice; at
+    // the 449M-edge finest level that is the partitioner's hot spot.)
+    cg.rowptr.assign(nc + 1, 0);
+    cg.colidx.resize(rowptr[n]);
+    cg.ewgt.resize(rowptr[n]);
+    int64_t out = 0;
     for (int64_t cu = 0; cu < nc; cu++) {
-        int64_t out = cg.rowptr[cu];
         for (int64_t ci = cstart[cu]; ci < cstart[cu + 1]; ci++) {
             int64_t u = child[ci];
             for (int64_t e = rowptr[u]; e < rowptr[u + 1]; e++) {
@@ -399,7 +389,12 @@ static MLGraph contract(const int64_t* rowptr, const int32_t* colidx,
                 }
             }
         }
+        cg.rowptr[cu + 1] = out;
     }
+    cg.colidx.resize(out);
+    cg.colidx.shrink_to_fit();
+    cg.ewgt.resize(out);
+    cg.ewgt.shrink_to_fit();
     return cg;
 }
 
