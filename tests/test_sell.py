@@ -103,3 +103,20 @@ def test_native_layout_matches_numpy_fallback(rng, monkeypatch):
     ya, yb = spmv_host(op_nat, x), spmv_host(op_py, x)
     np.testing.assert_allclose(ya, yb, rtol=1e-5,
                                atol=1e-5 * np.linalg.norm(yb))
+
+
+def test_bucketing_reduces_stored_slots(rng):
+    """G-bucketing never stores more slots than global-max padding and
+    strictly fewer when per-tile group counts differ."""
+    from acg_tpu import _native
+    if not _native.has_sell():
+        pytest.skip("native library not built")
+    A = random_spd(900, 6, rng)
+    op = SellOperator.from_csr(A, dtype=np.float32)
+    assert len(op.vals) >= 2                      # multiple buckets
+    worst = 8 * op.G * op.ntiles * 128            # global-max padding
+    assert op.nnz <= worst
+    x = rng.standard_normal(A.shape[0]).astype(np.float32)
+    y = spmv_host(op, x)
+    ref = A @ x
+    assert np.linalg.norm(y - ref) / np.linalg.norm(ref) < 1e-5
