@@ -59,6 +59,22 @@ def _round_up(x: int, m: int) -> int:
 BLOCK_TILES = 2
 
 
+def cidx_flat_pad(cidx_a: np.ndarray):
+    """(ntiles, G) chunk table → Sc-padded flat (ntiles*Sc,) int32 array,
+    the exact form the kernel DMA's to SMEM (Sc = G rounded so T·Sc is a
+    1024 multiple, the 1-D DMA alignment rule).  Precomputed at build
+    time so the pad/reshape is not re-traced into every jitted SpMV call
+    (it would otherwise re-execute per CG iteration unless XLA hoists
+    it)."""
+    import jax.numpy as jnp
+    ntiles, G = cidx_a.shape
+    q = 1024 // BLOCK_TILES
+    Sc = -(-G // q) * q
+    out = np.zeros((ntiles, Sc), np.int32)
+    out[:, :G] = np.asarray(cidx_a)
+    return jnp.asarray(out.reshape(-1))
+
+
 @functools.partial(jax.jit, static_argnames=("rows2",))
 def _scatter_slabs(fr, rho, val, lane, rows2: int):
     """Materialize the (rows2, 128) vals/lidx slabs on device from the
@@ -86,7 +102,8 @@ class SellOperator:
     restores them."""
     vals: tuple                # per bucket (ntiles_b, G_b, 8, 128)
     lidx: tuple                # per bucket (ntiles_b, G_b, 8, 128) int32
-    cidx: tuple                # per bucket (ntiles_b, G_b) int32 chunk ids
+    cidx: tuple                # per bucket (ntiles_b*Sc_b,) int32 flat
+                               # Sc-padded chunk table (cidx_flat_pad)
     tile_order: jnp.ndarray    # (ntiles,) original tile per sorted slot
     N: int                     # logical rows
     nnz_true: int
@@ -114,7 +131,7 @@ class SellOperator:
     @property
     def G(self) -> int:
         """Largest bucket group count (the VMEM-limiting one)."""
-        return max(c.shape[1] for c in self.cidx)
+        return max(v.shape[1] for v in self.vals)
 
     @property
     def S(self) -> int:
@@ -124,8 +141,7 @@ class SellOperator:
     @property
     def nnz(self) -> int:
         """Stored slots (the SpMV work measure, incl. padding)."""
-        return sum(8 * c.shape[1] * v.shape[0] * 128
-                   for c, v in zip(self.cidx, self.vals))
+        return sum(8 * v.shape[1] * v.shape[0] * 128 for v in self.vals)
 
     @property
     def fill(self) -> float:
@@ -160,7 +176,10 @@ class SellOperator:
         Cn = _round_up(max(N, 1), 1024) // 128 + 1   # chunk id bound
 
         from .. import _native
-        if _native.has_sell() and np.dtype(dtype) == np.float32 and N > 0:
+        # nnz == 0 falls through to the numpy path: the native build's
+        # tile bookkeeping indexes tc_tile[ends] on an empty pair array
+        if _native.has_sell() and np.dtype(dtype) == np.float32 \
+                and N > 0 and nnz > 0:
             return cls._from_csr_native(A, rowptr, N, nnz, ntiles,
                                         max_stored_bytes)
 
@@ -263,7 +282,7 @@ class SellOperator:
 
         # single bucket (the fallback skips tile sorting)
         return cls(vals=(jnp.asarray(vals_a),), lidx=(jnp.asarray(lidx_a),),
-                   cidx=(jnp.asarray(cidx_a),),
+                   cidx=(cidx_flat_pad(cidx_a),),
                    tile_order=jnp.arange(ntiles, dtype=jnp.int32),
                    N=N, nnz_true=int(nnz))
 
@@ -366,7 +385,7 @@ class SellOperator:
                           .reshape(nb, g, 8, 128))
             lidx_t.append(lidx2[rs * 8:(rs + nb * g) * 8]
                           .reshape(nb, g, 8, 128))
-            cidx_t.append(jnp.asarray(cidx_a))
+            cidx_t.append(cidx_flat_pad(cidx_a))
         return cls(vals=tuple(vals_t), lidx=tuple(lidx_t),
                    cidx=tuple(cidx_t),
                    tile_order=jnp.asarray(sort_order.astype(np.int32)),

@@ -135,8 +135,11 @@ def sell_spmv(vals: jnp.ndarray, lidx: jnp.ndarray, cidx: jnp.ndarray,
               x: jnp.ndarray, Nx: int) -> jnp.ndarray:
     """y = A @ x for one SellOperator bucket.
 
-    vals/lidx: (ntiles_b, G, 8, 128); cidx: (ntiles_b, G) int32; x is
-    the FULL column-space vector, padded/truncated here to Nx (the
+    vals/lidx: (ntiles_b, G, 8, 128); cidx: the Sc-padded FLAT
+    (ntiles_b*Sc,) int32 chunk table (core.sell.cidx_flat_pad — padded at
+    build time so no per-call pad is traced into the solve loop), or a
+    raw (ntiles_b, G) table for standalone use (padded here).  x is the
+    FULL column-space vector, padded/truncated here to Nx (the
     1024-aligned column count) — bucket row counts and the column space
     are independent."""
     if vals.dtype == jnp.float64 and jax.default_backend() != "cpu":
@@ -144,7 +147,6 @@ def sell_spmv(vals: jnp.ndarray, lidx: jnp.ndarray, cidx: jnp.ndarray,
             "Mosaic has no f64 tiling on TPU; build the SellOperator with "
             "dtype=float32 (dot_dtype='mixed' keeps f64-quality reductions)")
     ntiles, G = vals.shape[0], vals.shape[1]
-    assert cidx.shape[1] == G
     Np = ntiles * 128
     T = BLOCK_TILES
     assert ntiles % T == 0
@@ -157,8 +159,13 @@ def sell_spmv(vals: jnp.ndarray, lidx: jnp.ndarray, cidx: jnp.ndarray,
     # flat chunk table with per-tile stride Sc: T·Sc must be a 1024
     # multiple for the 1-D DMA slice alignment rule
     Sc = -(-G // (1024 // T)) * (1024 // T)
-    cidx_flat = jnp.zeros((ntiles, Sc), jnp.int32).at[:, :G].set(cidx) \
-        .reshape(-1)
+    if cidx.ndim == 2:
+        assert cidx.shape == (ntiles, G)
+        cidx_flat = jnp.zeros((ntiles, Sc), jnp.int32).at[:, :G].set(cidx) \
+            .reshape(-1)
+    else:
+        assert cidx.shape == (ntiles * Sc,), (cidx.shape, ntiles, Sc)
+        cidx_flat = cidx
     kernel = functools.partial(_sell_kernel, G, T, Sc)
     z32 = np.int32(0)
     try:

@@ -633,7 +633,14 @@ _LAST_COMPILED = [None]
 
 def _compiled_run(op, bp, x0p, opt, method, history, vals_exact,
                   accum="chain"):
+    # leaf shapes are part of the key: SellOperator's aux (N, nnz_true)
+    # alone does not determine the bucket shapes (G_b, ntiles_b), and two
+    # operators sharing aux but not shapes must not share an executable
+    leaf_shapes = tuple((v.shape, str(v.dtype))
+                        for v in jax.tree_util.tree_leaves(op)
+                        if hasattr(v, "shape"))
     key = (jax.default_backend(), type(op).__name__, op.tree_flatten()[1],
+           leaf_shapes,
            bp.shape, str(bp.dtype), opt, method, history, vals_exact, accum)
     c = _COMPILED_CACHE.get(key)
     if c is None:
@@ -675,8 +682,14 @@ def solve(op, b: np.ndarray, x0: np.ndarray | None = None,
     accum = "chain"
     if method == "pipelined-df64":
         # SpMV fold shape A/B switch (ops/pallas_df64._fold); a static
-        # compile-time property, part of the compiled-program cache key
+        # compile-time property, part of the compiled-program cache key.
+        # Validated here: a typo'd value would otherwise be silently
+        # treated as "chain" at small K or error deep in kernel tracing.
         accum = os.environ.get("ACG_DF64_ACCUM", "chain")
+        if accum not in ("chain", "split2", "tree"):
+            raise ValueError(
+                f"ACG_DF64_ACCUM={accum!r} is not a valid fold shape; "
+                "expected one of 'chain', 'split2', 'tree'")
         # static property used to specialize the kernel (matrix entries
         # exactly f32-representable?) — cached on the operator at
         # construction; the fallback fetch happens at most once per
