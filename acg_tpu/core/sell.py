@@ -89,6 +89,185 @@ def _scatter_slabs(fr, rho, val, lane, rows2: int):
 # must fit the 16M VMEM; 3M rows of f32 is 12M bytes
 MAX_VMEM_ROWS = 3_000_000
 
+# tiles are sorted by group count into this many buckets, each padded to
+# its own G_b (instead of the global max — measured 44% wasted slots)
+NBUCKETS = 8
+
+
+def default_buckets(ntiles: int) -> list[tuple[int, int]]:
+    """Sorted-tile [start, end) ranges of the G-bucketed layout.  A pure
+    function of ntiles — per-part layouts of a partitioned matrix (equal
+    L ⇒ equal ntiles) therefore share bucket structure, which the
+    distributed operator needs for SPMD-uniform shapes."""
+    per = _round_up(-(-ntiles // NBUCKETS), BLOCK_TILES)
+    starts = list(range(0, ntiles, per)) + [ntiles]
+    return [(starts[i], starts[i + 1]) for i in range(len(starts) - 1)
+            if starts[i] < starts[i + 1]]
+
+
+def bucket_groups(G_of_tile: np.ndarray, sort_order: np.ndarray,
+                  buckets) -> list[int]:
+    """Per-bucket padded group count G_b (max over the bucket's tiles,
+    rounded to 8 — the kernel unrolls 8 groups per loop iteration)."""
+    return [int(_round_up(max(int(G_of_tile[sort_order[s:e]].max()), 1), 8))
+            for s, e in buckets]
+
+
+def sell_scan_phase(A, ntiles: int, ncols: int, use_native: bool) -> dict:
+    """Phase 1 of the layout build: distinct (tile, chunk) pairs with
+    per-pair group counts, plus per-tile totals.
+
+    Returns a dict with ``tc_tile``/``tc_chunk``/``Kg`` (per pair),
+    ``group_base`` (exclusive prefix of Kg within each tile),
+    ``G_of_tile`` (ntiles,), and — numpy path only — ``ent``, the
+    per-entry slab coordinates consumed by the fill phase.  Pair order
+    differs between paths (native: first-appearance within the row scan;
+    numpy: ascending chunk) — both are valid layouts; each path's fill
+    uses its own order consistently (tests compare SpMV results)."""
+    rowptr = A.indptr.astype(np.int64)
+    col = A.indices
+    nnz = int(col.shape[0])
+    N = A.shape[0]
+    ent = None
+    if use_native:
+        from .. import _native
+        tc_tile, tc_chunk, tc_k = _native.sell_scan(rowptr, col)
+        tc_tile = tc_tile.astype(np.int64)
+        tc_chunk = tc_chunk.astype(np.int32)
+        Kg = (tc_k.astype(np.int64) + 7) >> 3
+    else:
+        col64 = col.astype(np.int64)
+        Cn = _round_up(max(ncols, 1), 1024) // 128 + 1   # chunk id bound
+        rowlen = np.diff(rowptr)
+        row = np.repeat(np.arange(N, dtype=np.int64), rowlen)
+        tile = row >> 7
+        c = col64 >> 7
+        # rank of each entry within its (row, chunk) run (CSR order
+        # makes runs contiguous)
+        key_rc = row * Cn + c
+        run_start = np.ones(nnz, dtype=bool)
+        run_start[1:] = key_rc[1:] != key_rc[:-1]
+        first = np.nonzero(run_start)[0]
+        run_id = np.cumsum(run_start) - 1
+        rank = np.arange(nnz, dtype=np.int64) - first[run_id]
+        # per (tile, chunk): K_tc = max run size over the tile's rows
+        grp_tile = tile[first]
+        grp_chunk = c[first]
+        grp_size = np.diff(np.concatenate([first, [nnz]]))
+        key_tc = grp_tile * Cn + grp_chunk
+        order = np.argsort(key_tc, kind="stable")
+        kt_sorted = key_tc[order]
+        tc_start = np.ones(len(order), dtype=bool)
+        tc_start[1:] = kt_sorted[1:] != kt_sorted[:-1]
+        tc_first = np.nonzero(tc_start)[0]
+        tc_id_sorted = np.cumsum(tc_start) - 1
+        n_tc0 = int(tc_id_sorted[-1]) + 1 if len(order) else 0
+        K_tc = np.zeros(n_tc0, dtype=np.int64)
+        np.maximum.at(K_tc, tc_id_sorted, grp_size[order])
+        tc_tile = grp_tile[order][tc_first]
+        tc_chunk = grp_chunk[order][tc_first].astype(np.int32)
+        Kg = (K_tc + 7) >> 3
+        # per-entry coordinates (everything except the bucket-dependent
+        # tile base): tc pair id, rank within the run, row/lane residues
+        tc_of_group = np.empty(len(first), dtype=np.int64)
+        tc_of_group[order] = tc_id_sorted
+        ent = dict(tile=tile, rank=rank, tc=tc_of_group[run_id],
+                   rho=(row & 127).astype(np.int32),
+                   lane=(col64 & 127).astype(np.int32))
+    n_tc = int(tc_tile.shape[0])
+    # group_base: exclusive prefix of Kg within each tile (pairs are
+    # grouped by tile in both scan orders)
+    group_base = np.zeros(n_tc, dtype=np.int64)
+    G_of_tile = np.zeros(ntiles, dtype=np.int64)
+    if n_tc:
+        tile_change = np.ones(n_tc, dtype=bool)
+        tile_change[1:] = tc_tile[1:] != tc_tile[:-1]
+        csum = np.cumsum(Kg) - Kg                    # global exclusive
+        base0 = np.zeros(n_tc, dtype=np.int64)
+        base0[tile_change] = csum[tile_change]
+        np.maximum.accumulate(base0, out=base0)
+        group_base = csum - base0
+        ends = np.nonzero(np.concatenate([tile_change[1:], [True]]))[0]
+        np.add.at(G_of_tile, tc_tile[ends], group_base[ends] + Kg[ends])
+    return dict(native=use_native, n_tc=n_tc, tc_tile=tc_tile,
+                tc_chunk=tc_chunk, Kg=Kg, group_base=group_base,
+                G_of_tile=G_of_tile, ent=ent)
+
+
+def sell_fill_phase(A, scan: dict, sort_order: np.ndarray, buckets,
+                    G_b, dtype, to_device: bool):
+    """Phase 2: scatter entries into the per-bucket slabs.
+
+    ``buckets``/``G_b`` may come from this matrix's own scan
+    (single-chip) or be imposed from outside (the distributed builder
+    takes the max G_b across parts so shard_map shapes agree — any
+    G_b ≥ this part's own is valid; the extra groups hold zeros).
+    Returns (vals_list, lidx_list, cidx2d_list) per bucket —
+    vals/lidx are device arrays when ``to_device`` (jitted scatter,
+    f32 only), numpy otherwise; cidx is always a numpy (nb, G_b)
+    table (callers flatten with cidx_flat_pad)."""
+    ntiles = len(sort_order)
+    rowptr = A.indptr.astype(np.int64)
+    N = A.shape[0]
+    # flat slab-row base per ORIGINAL tile (sorted tiles contiguous,
+    # bucket stride G_b)
+    tile_base = np.empty(ntiles, dtype=np.int64)
+    row_start = []
+    acc = 0
+    for (s, e), g in zip(buckets, G_b):
+        row_start.append(acc)
+        tile_base[sort_order[s:e]] = acc + np.arange(e - s,
+                                                     dtype=np.int64) * g
+        acc += (e - s) * g
+    rows_total = acc
+
+    val = A.data if np.dtype(dtype) == A.data.dtype \
+        else A.data.astype(dtype)
+    if scan["native"]:
+        from .. import _native
+        fr = _native.sell_entries(rowptr, A.indices, tile_base,
+                                  scan["group_base"])
+        rho = np.repeat(np.arange(N, dtype=np.int32),
+                        np.diff(rowptr)) & np.int32(127)
+        lane = (A.indices & 127).astype(np.int32)
+    else:
+        ent = scan["ent"]
+        g_of = scan["group_base"][ent["tc"]] + (ent["rank"] >> 3)
+        fr = (tile_base[ent["tile"]] + g_of) * 8 + (ent["rank"] & 7)
+        rho, lane = ent["rho"], ent["lane"]
+    if to_device:
+        vals2, lidx2 = _scatter_slabs(
+            jnp.asarray(fr), jnp.asarray(rho),
+            jnp.asarray(val.astype(np.float32)), jnp.asarray(lane),
+            rows_total * 8)
+    else:
+        vals2 = np.zeros((rows_total * 8, 128), dtype=dtype)
+        lidx2 = np.zeros((rows_total * 8, 128), dtype=np.int32)
+        vals2[fr, rho] = val
+        lidx2[fr, rho] = lane
+
+    # chunk tables per bucket (tiles in sorted order)
+    inv = np.empty(ntiles, dtype=np.int64)
+    inv[sort_order] = np.arange(ntiles)
+    n_tc, Kg, group_base = scan["n_tc"], scan["Kg"], scan["group_base"]
+    rep = np.repeat(np.arange(n_tc), Kg)
+    pos = np.arange(len(rep)) - np.repeat(np.cumsum(Kg) - Kg, Kg)
+    pair_tile_sorted = inv[scan["tc_tile"][rep]]
+    pair_g = group_base[rep] + pos
+    chunk_rep = scan["tc_chunk"][rep]
+    vals_t, lidx_t, cidx_t = [], [], []
+    for (s, e), g, rs in zip(buckets, G_b, row_start):
+        nb = e - s
+        cidx_a = np.zeros((nb, g), dtype=np.int32)
+        sel = (pair_tile_sorted >= s) & (pair_tile_sorted < e)
+        cidx_a[pair_tile_sorted[sel] - s, pair_g[sel]] = chunk_rep[sel]
+        vals_t.append(vals2[rs * 8:(rs + nb * g) * 8]
+                      .reshape(nb, g, 8, 128))
+        lidx_t.append(lidx2[rs * 8:(rs + nb * g) * 8]
+                      .reshape(nb, g, 8, 128))
+        cidx_t.append(cidx_a)
+    return vals_t, lidx_t, cidx_t
+
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
@@ -106,11 +285,12 @@ class SellOperator:
                                # Sc-padded chunk table (cidx_flat_pad)
     tile_order: jnp.ndarray    # (ntiles,) original tile per sorted slot
     N: int                     # logical rows
+    ncols: int                 # logical columns (= N when square)
     nnz_true: int
 
     def tree_flatten(self):
         return (self.vals, self.lidx, self.cidx, self.tile_order), \
-            (self.N, self.nnz_true)
+            (self.N, self.ncols, self.nnz_true)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -152,7 +332,17 @@ class SellOperator:
     def from_csr(cls, A, dtype=np.float32,
                  max_stored_bytes: int = 13 * 1024**3) -> "SellOperator":
         """Build the per-tile chunked-gather layout from a scipy CSR
-        matrix.  Vectorized (run-length machinery, no per-row loops).
+        matrix (square or rectangular — the column space is independent
+        of the row tiles, so the interface/ghost blocks of a partitioned
+        matrix use the same builder).
+
+        Vectorized two-phase build (no per-row loops): phase 1 scans the
+        distinct (tile, chunk) pairs (native streaming pass when built,
+        numpy run-length machinery otherwise — the numpy path measured
+        418 s at 46M nnz vs seconds native); phase 2 scatters entries
+        into the G-bucketed slabs (device-side when native/f32: shipping
+        padded slabs through the device tunnel measured 233 s at 46M nnz
+        vs ~0.7 GB of entry arrays).
 
         Raises if the padded layout would exceed ``max_stored_bytes`` on
         device (vals + lidx resident in HBM) or if x outgrows the
@@ -161,182 +351,27 @@ class SellOperator:
         if not A.has_sorted_indices:
             A = A.copy()
             A.sort_indices()
-        N = A.shape[0]
-        assert A.shape[1] == N
-        if N > MAX_VMEM_ROWS:
+        N, ncols = A.shape
+        if ncols > MAX_VMEM_ROWS:
             raise NotImplementedError(
-                f"SellOperator holds x resident in VMEM; N={N:,} exceeds "
-                f"the {MAX_VMEM_ROWS:,}-row budget (column paneling not "
-                "implemented)")
-        rowptr = A.indptr.astype(np.int64)
-        col = A.indices.astype(np.int64)
-        val = A.data
-        nnz = col.shape[0]
+                f"SellOperator holds x resident in VMEM; ncols={ncols:,} "
+                f"exceeds the {MAX_VMEM_ROWS:,}-row budget (column "
+                "paneling not implemented)")
+        nnz = int(A.indices.shape[0])
         ntiles = _round_up(max(N, 1), BLOCK_TILES * 128) // 128
-        Cn = _round_up(max(N, 1), 1024) // 128 + 1   # chunk id bound
 
         from .. import _native
-        # nnz == 0 falls through to the numpy path: the native build's
-        # tile bookkeeping indexes tc_tile[ends] on an empty pair array
-        if _native.has_sell() and np.dtype(dtype) == np.float32 \
-                and N > 0 and nnz > 0:
-            return cls._from_csr_native(A, rowptr, N, nnz, ntiles,
-                                        max_stored_bytes)
-
-        rowlen = np.diff(rowptr)
-        row = np.repeat(np.arange(N, dtype=np.int64), rowlen)
-        tile = row >> 7
-        rho = (row & 127).astype(np.int32)
-        c = col >> 7
-        lane = (col & 127).astype(np.int32)
-
-        # rank of each entry within its (row, chunk) run (CSR order makes
-        # runs contiguous)
-        key_rc = row * Cn + c
-        run_start = np.ones(nnz, dtype=bool)
-        run_start[1:] = key_rc[1:] != key_rc[:-1]
-        first = np.nonzero(run_start)[0]
-        run_id = np.cumsum(run_start) - 1
-        rank = np.arange(nnz, dtype=np.int64) - first[run_id]
-
-        # per (tile, chunk): K_tc = max run size over the tile's rows
-        grp_tile = tile[first]
-        grp_chunk = c[first]
-        grp_size = np.diff(np.concatenate([first, [nnz]]))
-        key_tc = grp_tile * Cn + grp_chunk
-        order = np.argsort(key_tc, kind="stable")
-        kt_sorted = key_tc[order]
-        tc_start = np.ones(len(order), dtype=bool)
-        tc_start[1:] = kt_sorted[1:] != kt_sorted[:-1]
-        tc_first = np.nonzero(tc_start)[0]
-        tc_id_sorted = np.cumsum(tc_start) - 1
-        n_tc = int(tc_id_sorted[-1]) + 1 if len(order) else 0
-        K_tc = np.zeros(n_tc, dtype=np.int64)
-        np.maximum.at(K_tc, tc_id_sorted, grp_size[order])
-        tc_tile = grp_tile[order][tc_first]
-        tc_chunk = grp_chunk[order][tc_first]
-
-        # group count per (tile, chunk) — slots come in same-chunk runs
-        # of 8 so the kernel loads the chunk row once per group
-        Kg_tc = (K_tc + 7) >> 3
-        # group base per (tile, chunk): prefix of Kg_tc within each tile
-        # (key_tc order groups by tile, chunks ascending)
-        group_base = np.zeros(n_tc, dtype=np.int64)
-        G_of_tile = np.zeros(ntiles, dtype=np.int64)
-        if n_tc:
-            tile_change = np.ones(n_tc, dtype=bool)
-            tile_change[1:] = tc_tile[1:] != tc_tile[:-1]
-            csum = np.cumsum(Kg_tc) - Kg_tc          # exclusive
-            base0 = np.zeros(n_tc, dtype=np.int64)
-            base0[tile_change] = csum[tile_change]
-            np.maximum.accumulate(base0, out=base0)
-            group_base = csum - base0
-            ends = np.nonzero(np.concatenate([tile_change[1:], [True]]))[0]
-            np.add.at(G_of_tile, tc_tile[ends],
-                      group_base[ends] + Kg_tc[ends])
-        # padded to 8: the kernel unrolls 8 groups per loop iteration
-        G = _round_up(max(int(G_of_tile.max()) if ntiles else 0, 1), 8)
+        # nnz == 0 uses the numpy scan: the native pass has no pairs to
+        # emit and its tile bookkeeping would index an empty array
+        use_native = (_native.has_sell() and np.dtype(dtype) == np.float32
+                      and N > 0 and nnz > 0)
+        scan = sell_scan_phase(A, ntiles, ncols, use_native)
+        sort_order = np.argsort(scan["G_of_tile"], kind="stable")
+        buckets = default_buckets(ntiles)
+        G_b = bucket_groups(scan["G_of_tile"], sort_order, buckets)
 
         isz = np.dtype(dtype).itemsize
-        stored = 8 * G * ntiles * 128
-        need = stored * (isz + 4)
-        if need > max_stored_bytes:
-            raise MemoryError(
-                f"SELL layout would store {stored:,} slots "
-                f"({need / 1e9:.1f} GB, fill {nnz / stored:.3f}) — exceeds "
-                f"max_stored_bytes={max_stored_bytes / 1e9:.1f} GB; the "
-                "matrix is too irregular for the chunked-gather format at "
-                "this scale")
-        # kernel VMEM working set: double-buffered vals+lidx blocks + x
-        vmem = (2 * G * BLOCK_TILES * 1024 * (isz + 4)
-                + _round_up(max(N, 1), 1024) * isz)
-        if vmem > 14 * 1024 * 1024:
-            raise MemoryError(
-                f"SELL kernel working set {vmem / 1e6:.1f} MB exceeds VMEM "
-                f"(G={G} slot groups/tile, N={N:,}); the matrix is too "
-                "irregular/large for the single-chip chunked-gather path — "
-                "partition it across devices instead")
-
-        # map each entry to its (group, sub-slot) and scatter into the
-        # 4-D slabs: within a (tile, chunk), rank k lands in group
-        # base + k>>3, sub-slot k&7
-        tc_of_group = np.empty(len(first), dtype=np.int64)
-        tc_of_group[order] = tc_id_sorted
-        gb = group_base[tc_of_group[run_id]]
-        g_of = gb + (rank >> 3)
-        r_of = rank & 7
-        vals_a = np.zeros((ntiles, G, 8, 128), dtype=dtype)
-        lidx_a = np.zeros((ntiles, G, 8, 128), dtype=np.int32)
-        flat = (tile * G + g_of) * 1024 + r_of * 128 + rho
-        vals_a.reshape(-1)[flat] = val
-        lidx_a.reshape(-1)[flat] = lane
-        del run_id, rank, key_rc, run_start, flat, gb, g_of, r_of
-
-        # chunk table: per (tile, chunk) fill its group range
-        cidx_a = np.zeros((ntiles, G), dtype=np.int32)
-        rep = np.repeat(np.arange(n_tc), Kg_tc)
-        grp_pos = np.arange(len(rep)) - np.repeat(np.cumsum(Kg_tc) - Kg_tc,
-                                                  Kg_tc)
-        cidx_a[tc_tile[rep], group_base[rep] + grp_pos] = \
-            tc_chunk[rep].astype(np.int32)
-
-        # single bucket (the fallback skips tile sorting)
-        return cls(vals=(jnp.asarray(vals_a),), lidx=(jnp.asarray(lidx_a),),
-                   cidx=(cidx_flat_pad(cidx_a),),
-                   tile_order=jnp.arange(ntiles, dtype=jnp.int32),
-                   N=N, nnz_true=int(nnz))
-
-    @classmethod
-    def _from_csr_native(cls, A, rowptr, N, nnz, ntiles,
-                         max_stored_bytes) -> "SellOperator":
-        """Layout build through the native streaming passes
-        (acg_sell_scan/acg_sell_fill) — the numpy version's nnz-length
-        argsort/unique machinery measured 418 s at 46M nnz; the C scan
-        is seconds.  Chunks appear per tile in first-appearance order
-        (not ascending) — an equally valid layout; tests compare SpMV
-        results, not raw slabs."""
-        from .. import _native
-        tc_tile, tc_chunk, tc_k = _native.sell_scan(rowptr, A.indices)
-        n_tc = tc_tile.shape[0]
-        Kg = ((tc_k.astype(np.int64) + 7) >> 3)
-        tile_change = np.ones(n_tc, dtype=bool)
-        tile_change[1:] = tc_tile[1:] != tc_tile[:-1]
-        csum = np.cumsum(Kg) - Kg
-        base0 = np.zeros(n_tc, dtype=np.int64)
-        base0[tile_change] = csum[tile_change]
-        np.maximum.accumulate(base0, out=base0)
-        group_base = csum - base0
-        G_of_tile = np.zeros(ntiles, dtype=np.int64)
-        ends = np.nonzero(np.concatenate([tile_change[1:], [True]]))[0]
-        np.add.at(G_of_tile, tc_tile[ends], group_base[ends] + Kg[ends])
-
-        # --- G-bucketed tile layout -----------------------------------
-        # sort tiles by group count and give each bucket its own padded
-        # G_b: padding every tile to the global max wastes ~44% of the
-        # stored slots on meshes with the measured G spread (p50 77 vs
-        # max 137)
-        NB = 8
-        sort_order = np.argsort(G_of_tile, kind="stable")
-        per = _round_up(-(-ntiles // NB), BLOCK_TILES)
-        starts = list(range(0, ntiles, per)) + [ntiles]
-        buckets = [(starts[i], starts[i + 1])
-                   for i in range(len(starts) - 1)
-                   if starts[i] < starts[i + 1]]
-        G_b = [int(_round_up(max(int(G_of_tile[sort_order[s:e]].max()), 1),
-                             8)) for s, e in buckets]
-        # flat slab-row base per ORIGINAL tile (sorted tiles contiguous,
-        # bucket stride G_b)
-        tile_base = np.empty(ntiles, dtype=np.int64)
-        row_start = []
-        acc = 0
-        for (s, e), g in zip(buckets, G_b):
-            row_start.append(acc)
-            tile_base[sort_order[s:e]] = acc + np.arange(e - s,
-                                                         dtype=np.int64) * g
-            acc += (e - s) * g
-        rows_total = acc
-
-        isz = 4
+        rows_total = sum((e - s) * g for (s, e), g in zip(buckets, G_b))
         stored = 8 * rows_total * 128
         need = stored * (isz + 4)
         if need > max_stored_bytes:
@@ -346,50 +381,24 @@ class SellOperator:
                 f"max_stored_bytes={max_stored_bytes / 1e9:.1f} GB; the "
                 "matrix is too irregular for the chunked-gather format at "
                 "this scale")
+        # kernel VMEM working set: double-buffered vals+lidx blocks + x
         vmem = (2 * max(G_b) * BLOCK_TILES * 1024 * (isz + 4)
-                + _round_up(max(N, 1), 1024) * isz)
+                + _round_up(max(ncols, 1), 1024) * isz)
         if vmem > 14 * 1024 * 1024:
             raise MemoryError(
                 f"SELL kernel working set {vmem / 1e6:.1f} MB exceeds VMEM "
-                f"(G={max(G_b)} slot groups/tile, N={N:,}); the matrix is "
-                "too irregular/large for the single-chip chunked-gather "
-                "path — partition it across devices instead")
+                f"(G={max(G_b)} slot groups/tile, ncols={ncols:,}); the "
+                "matrix is too irregular/large for the single-chip "
+                "chunked-gather path — partition it across devices instead")
 
-        # per-entry slab coordinates on the host, slab MATERIALIZATION on
-        # the device: shipping the padded slabs through the device tunnel
-        # measured 233 s (12.3 GB) at 46M nnz vs ~0.7 GB of entry arrays
-        fr = _native.sell_entries(rowptr, A.indices, tile_base, group_base)
-        rho = np.repeat(np.arange(N, dtype=np.int32),
-                        np.diff(rowptr)) & np.int32(127)
-        lane = (A.indices & 127).astype(np.int32)
-        val = A.data.astype(np.float32)
-        vals2, lidx2 = _scatter_slabs(
-            jnp.asarray(fr), jnp.asarray(rho), jnp.asarray(val),
-            jnp.asarray(lane), rows_total * 8)
-
-        # chunk tables per bucket (tiles in sorted order)
-        inv = np.empty(ntiles, dtype=np.int64)
-        inv[sort_order] = np.arange(ntiles)
-        rep = np.repeat(np.arange(n_tc), Kg)
-        pos = np.arange(len(rep)) - np.repeat(csum, Kg)
-        pair_tile_sorted = inv[tc_tile[rep]]
-        pair_g = group_base[rep] + pos
-        vals_t, lidx_t, cidx_t = [], [], []
-        for (s, e), g, rs in zip(buckets, G_b, row_start):
-            nb = e - s
-            cidx_a = np.zeros((nb, g), dtype=np.int32)
-            sel = (pair_tile_sorted >= s) & (pair_tile_sorted < e)
-            cidx_a[pair_tile_sorted[sel] - s, pair_g[sel]] = \
-                tc_chunk[rep[sel]]
-            vals_t.append(vals2[rs * 8:(rs + nb * g) * 8]
-                          .reshape(nb, g, 8, 128))
-            lidx_t.append(lidx2[rs * 8:(rs + nb * g) * 8]
-                          .reshape(nb, g, 8, 128))
-            cidx_t.append(cidx_flat_pad(cidx_a))
-        return cls(vals=tuple(vals_t), lidx=tuple(lidx_t),
-                   cidx=tuple(cidx_t),
+        vals_t, lidx_t, cidx_t = sell_fill_phase(
+            A, scan, sort_order, buckets, G_b, dtype,
+            to_device=use_native)
+        return cls(vals=tuple(jnp.asarray(v) for v in vals_t),
+                   lidx=tuple(jnp.asarray(l) for l in lidx_t),
+                   cidx=tuple(cidx_flat_pad(c) for c in cidx_t),
                    tile_order=jnp.asarray(sort_order.astype(np.int32)),
-                   N=N, nnz_true=int(nnz))
+                   N=N, ncols=ncols, nnz_true=nnz)
 
     # -- SpMV -----------------------------------------------------------------
 
@@ -399,7 +408,7 @@ class SellOperator:
         (x resident in VMEM each); the outputs cover the sorted tiles
         and one unique-index scatter restores the original row order."""
         from ..ops.pallas_sell import sell_spmv
-        Nx = _round_up(max(self.N, 1), 1024)
+        Nx = _round_up(max(self.ncols, 1), 1024)
         ys = [sell_spmv(v, l, c, x, Nx).reshape(-1, 128)
               for v, l, c in zip(self.vals, self.lidx, self.cidx)]
         y_sorted = ys[0] if len(ys) == 1 else jnp.concatenate(ys, axis=0)
