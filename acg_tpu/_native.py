@@ -63,11 +63,11 @@ def _load():
                 i32p_ = ctypes.POINTER(ctypes.c_int32)
                 lib.acg_sell_scan.restype = ctypes.c_int
                 lib.acg_sell_scan.argtypes = [
-                    i64p_, i32p_, ctypes.c_int64,
+                    i64p_, i32p_, ctypes.c_int64, ctypes.c_int64,
                     i64p_, i32p_, i32p_, i64p_]
                 lib.acg_sell_entries.restype = ctypes.c_int
                 lib.acg_sell_entries.argtypes = [
-                    i64p_, i32p_, ctypes.c_int64, i64p_,
+                    i64p_, i32p_, ctypes.c_int64, ctypes.c_int64, i64p_,
                     i64p_, i32p_]
             if hasattr(lib, "acg_ell_scan"):
                 i64p = ctypes.POINTER(ctypes.c_int64)
@@ -245,10 +245,11 @@ def has_sell() -> bool:
     return lib is not None and hasattr(lib, "acg_sell_scan")
 
 
-def sell_scan(rowptr: np.ndarray, colidx: np.ndarray):
+def sell_scan(rowptr: np.ndarray, colidx: np.ndarray, ncols: int):
     """Distinct (tile, chunk) pairs in row-scan order with per-pair max
-    run length K (the SELL layout's pass 1).  Returns
-    (tc_tile i64, tc_chunk i32, tc_k i32)."""
+    run length K (the SELL layout's pass 1).  ``ncols`` sizes the chunk
+    map — blocks may be rectangular (interface blocks are L x G).
+    Returns (tc_tile i64, tc_chunk i32, tc_k i32)."""
     lib = _load()
     assert lib is not None and hasattr(lib, "acg_sell_scan")
     rowptr = np.ascontiguousarray(rowptr, dtype=np.int64)
@@ -261,6 +262,7 @@ def sell_scan(rowptr: np.ndarray, colidx: np.ndarray):
     n_tc = ctypes.c_int64(0)
     err = lib.acg_sell_scan(
         _ptr(rowptr, ctypes.c_int64), _ptr(colidx, ctypes.c_int32), n,
+        int(ncols),
         _ptr(tc_tile, ctypes.c_int64), _ptr(tc_chunk, ctypes.c_int32),
         _ptr(tc_k, ctypes.c_int32), ctypes.byref(n_tc))
     if err != 0:
@@ -269,12 +271,13 @@ def sell_scan(rowptr: np.ndarray, colidx: np.ndarray):
     return tc_tile[:m].copy(), tc_chunk[:m].copy(), tc_k[:m].copy()
 
 
-def sell_entries(rowptr, colidx, tile_base: np.ndarray,
+def sell_entries(rowptr, colidx, ncols: int, tile_base: np.ndarray,
                  group_base: np.ndarray) -> np.ndarray:
     """Per-entry slab row index fr = (tile_base[t] + g)·8 + sub-slot
     (slabs viewed as flat (·, 128) rows; tile_base places sorted tiles
     contiguously with per-bucket strides); group_base is per
-    (tile, chunk) pair in sell_scan order."""
+    (tile, chunk) pair in sell_scan order; ``ncols`` sizes the chunk
+    map (rectangular blocks)."""
     lib = _load()
     assert lib is not None and hasattr(lib, "acg_sell_entries")
     rowptr = np.ascontiguousarray(rowptr, dtype=np.int64)
@@ -285,7 +288,7 @@ def sell_entries(rowptr, colidx, tile_base: np.ndarray,
     fr = np.empty(int(rowptr[-1]), dtype=np.int32)
     err = lib.acg_sell_entries(
         _ptr(rowptr, ctypes.c_int64), _ptr(colidx, ctypes.c_int32),
-        n, _ptr(tile_base, ctypes.c_int64),
+        n, int(ncols), _ptr(tile_base, ctypes.c_int64),
         _ptr(group_base, ctypes.c_int64), _ptr(fr, ctypes.c_int32))
     if err != 0:
         raise ValueError(f"native sell_entries failed with code {err}")

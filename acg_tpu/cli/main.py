@@ -299,8 +299,27 @@ def main(argv=None) -> int:
                 _print_comm_matrix(pm.comm_matrix)
             _halo_info["bytes"] = (int(pm.comm_matrix.sum())
                                    * np.dtype(args.dtype).itemsize)
+            # per-device operator: the chunked-gather SELL kernels are the
+            # fast path (f32 storage); auto picks them whenever the dtype
+            # allows, ell is the explicit slow gather fallback
+            if args.format == "sell" and args.dtype != "float32":
+                print("error: --format sell with --nparts requires --dtype "
+                      "float32 (Mosaic kernels are f32-only on TPU)",
+                      file=sys.stderr)
+                raise SystemExit(1)
+            operator = ("sell" if args.format == "sell"
+                        or (args.format == "auto"
+                            and args.dtype == "float32") else "ell")
+            if operator == "sell":
+                with timer.phase("format"):
+                    from ..parallel.dist_sell import build_dist_sell
+                    dso = build_dist_sell(pm)
+                log(args, f"distributed SELL layout: fill={dso.fill:.3f}")
+            else:
+                dso = None
             return solve_dist_general(pm, b, x0=x0, opt=opt, method=method,
-                                      dtype=args.dtype, halo=args.halo)
+                                      dtype=args.dtype, halo=args.halo,
+                                      operator=operator, sell_op=dso)
         op = _make_op()
         if args.solver.startswith("acg-host"):
             return solve_host_stepped(op, b, x0, opt, method)

@@ -59,20 +59,19 @@ def _round_up(x: int, m: int) -> int:
 BLOCK_TILES = 2
 
 
-def cidx_flat_pad(cidx_a: np.ndarray):
-    """(ntiles, G) chunk table → Sc-padded flat (ntiles*Sc,) int32 array,
-    the exact form the kernel DMA's to SMEM (Sc = G rounded so T·Sc is a
-    1024 multiple, the 1-D DMA alignment rule).  Precomputed at build
-    time so the pad/reshape is not re-traced into every jitted SpMV call
-    (it would otherwise re-execute per CG iteration unless XLA hoists
-    it)."""
-    import jax.numpy as jnp
+def cidx_flat_pad(cidx_a: np.ndarray) -> np.ndarray:
+    """(ntiles, G) chunk table → Sc-padded flat (ntiles*Sc,) int32 numpy
+    array, the exact form the kernel DMA's to SMEM (Sc = G rounded so
+    T·Sc is a 1024 multiple, the 1-D DMA alignment rule).  Precomputed at
+    build time so the pad/reshape is not re-traced into every jitted SpMV
+    call (it would otherwise re-execute per CG iteration unless XLA
+    hoists it)."""
     ntiles, G = cidx_a.shape
     q = 1024 // BLOCK_TILES
     Sc = -(-G // q) * q
     out = np.zeros((ntiles, Sc), np.int32)
     out[:, :G] = np.asarray(cidx_a)
-    return jnp.asarray(out.reshape(-1))
+    return out.reshape(-1)
 
 
 @functools.partial(jax.jit, static_argnames=("rows2",))
@@ -131,7 +130,7 @@ def sell_scan_phase(A, ntiles: int, ncols: int, use_native: bool) -> dict:
     ent = None
     if use_native:
         from .. import _native
-        tc_tile, tc_chunk, tc_k = _native.sell_scan(rowptr, col)
+        tc_tile, tc_chunk, tc_k = _native.sell_scan(rowptr, col, ncols)
         tc_tile = tc_tile.astype(np.int64)
         tc_chunk = tc_chunk.astype(np.int32)
         Kg = (tc_k.astype(np.int64) + 7) >> 3
@@ -225,7 +224,7 @@ def sell_fill_phase(A, scan: dict, sort_order: np.ndarray, buckets,
         else A.data.astype(dtype)
     if scan["native"]:
         from .. import _native
-        fr = _native.sell_entries(rowptr, A.indices, tile_base,
+        fr = _native.sell_entries(rowptr, A.indices, A.shape[1], tile_base,
                                   scan["group_base"])
         rho = np.repeat(np.arange(N, dtype=np.int32),
                         np.diff(rowptr)) & np.int32(127)
@@ -396,7 +395,8 @@ class SellOperator:
             to_device=use_native)
         return cls(vals=tuple(jnp.asarray(v) for v in vals_t),
                    lidx=tuple(jnp.asarray(l) for l in lidx_t),
-                   cidx=tuple(cidx_flat_pad(c) for c in cidx_t),
+                   cidx=tuple(jnp.asarray(cidx_flat_pad(c))
+                              for c in cidx_t),
                    tile_order=jnp.asarray(sort_order.astype(np.int32)),
                    N=N, ncols=ncols, nnz_true=nnz)
 

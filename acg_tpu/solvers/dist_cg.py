@@ -178,28 +178,9 @@ def solve_dist_stencil(offsets, vals: np.ndarray, b: np.ndarray,
 HALO_METHODS = ("allgather", "alltoall", "ragged")
 
 
-def solve_dist_general(pm: PartitionedMatrix, b: np.ndarray,
-                       x0: np.ndarray | None = None,
-                       opt: CGOptions = CGOptions(), method: str = "cg",
-                       history: bool = False, dtype=None, devices=None,
-                       halo: str = "allgather"):
-    """Distributed solve with a general row partition (METIS-style).
-
-    ``pm`` comes from partition.graph.build_partitioned_matrix; ``b``/``x0``
-    are global (N,) vectors.  ``halo`` selects the exchange strategy
-    (SURVEY.md §5.8): "allgather" broadcasts each device's packed border
-    buffer; "alltoall" is the neighbour-alltoallv analogue (point-to-point
-    pair buffers, lower wire volume).  Returns (x (N,) numpy, SolveInfo)."""
-    if halo not in HALO_METHODS:
-        raise ValueError(f"unknown halo {halo!r}; expected one of {HALO_METHODS}")
-    mesh = make_mesh(pm.P, devices)
-    vdtype = np.dtype(dtype) if dtype is not None else np.float64
-
-    stk = NamedSharding(mesh, P(AXIS))
-    own_ci = jax.device_put(pm.own_colidx, stk)
-    own_v = jax.device_put(pm.own_vals.astype(vdtype), stk)
-    gst_ci = jax.device_put(pm.ghost_colidx, stk)
-    gst_v = jax.device_put(pm.ghost_vals.astype(vdtype), stk)
+def _halo_plan(pm: PartitionedMatrix, halo: str):
+    """(host-side halo-plan arrays, exchange fn) for the chosen strategy
+    (SURVEY.md §5.8)."""
     if halo == "alltoall":
         hargs_h = [pm.pair_send_idx.astype(np.int32),
                    pm.ghost_src_dev.astype(np.int32),
@@ -221,6 +202,84 @@ def solve_dist_general(pm: PartitionedMatrix, b: np.ndarray,
                    pm.ghost_src_dev.astype(np.int32),
                    pm.ghost_src_slot.astype(np.int32)]
         halo_fn = allgather_halo
+    return hargs_h, halo_fn
+
+
+OPERATORS = ("ell", "sell")
+
+
+def solve_dist_general(pm: PartitionedMatrix, b: np.ndarray,
+                       x0: np.ndarray | None = None,
+                       opt: CGOptions = CGOptions(), method: str = "cg",
+                       history: bool = False, dtype=None, devices=None,
+                       halo: str = "allgather", operator: str = "ell",
+                       sell_op=None):
+    """Distributed solve with a general row partition (METIS-style).
+
+    ``pm`` comes from partition.graph.build_partitioned_matrix; ``b``/``x0``
+    are global (N,) vectors.  ``halo`` selects the exchange strategy
+    (SURVEY.md §5.8): "allgather" broadcasts each device's packed border
+    buffer; "alltoall" is the neighbour-alltoallv analogue (point-to-point
+    pair buffers, lower wire volume).  ``operator`` selects the per-device
+    SpMV: "sell" runs the chunked-gather kernel on the owned + interface
+    blocks (the fast path, float32 storage; parallel/dist_sell.py) —
+    "ell" is the gather-based reference fallback (any dtype).  A prebuilt
+    ``sell_op`` (parallel.dist_sell.build_dist_sell) skips the layout
+    build.  Returns (x (N,) numpy, SolveInfo)."""
+    if halo not in HALO_METHODS:
+        raise ValueError(f"unknown halo {halo!r}; expected one of {HALO_METHODS}")
+    if operator not in OPERATORS:
+        raise ValueError(
+            f"unknown operator {operator!r}; expected one of {OPERATORS}")
+    mesh = make_mesh(pm.P, devices)
+    if operator == "sell":
+        vdtype = np.dtype(dtype) if dtype is not None else np.dtype(np.float32)
+        if vdtype != np.float32:
+            raise ValueError(
+                "operator='sell' stores float32 slabs (Mosaic kernels are "
+                "f32-only on TPU); use dot_dtype='mixed' or 'float64' for "
+                "f64-quality reductions, or operator='ell' for f64 storage")
+    else:
+        vdtype = np.dtype(dtype) if dtype is not None else np.float64
+
+    stk = NamedSharding(mesh, P(AXIS))
+    if operator == "sell":
+        from ..parallel.dist_sell import (build_dist_sell,
+                                          dist_sell_spmv_with_ghosts)
+        dso = sell_op if sell_op is not None else build_dist_sell(pm)
+        own_t = jax.tree_util.tree_map(
+            lambda a: jax.device_put(jnp.asarray(a), stk), dso.own.tree())
+        gst_t = jax.tree_util.tree_map(
+            lambda a: jax.device_put(jnp.asarray(a), stk), dso.gst.tree())
+        op_args = (own_t, gst_t)
+        op_shapes = tuple(v.shape for v in dso.own.vals) \
+            + tuple(v.shape for v in dso.gst.vals)
+        own_ncols, gst_ncols = dso.own.ncols, dso.gst.ncols
+
+        def make_spmv(op_local, h, halo_fn):
+            own_l, gst_l = op_local
+
+            def spmv(xx):
+                ghosts = halo_fn(xx, *h, AXIS)
+                return dist_sell_spmv_with_ghosts(own_l, gst_l, xx, ghosts,
+                                                  own_ncols, gst_ncols)
+            return spmv
+    else:
+        op_args = (jax.device_put(pm.own_colidx, stk),
+                   jax.device_put(pm.own_vals.astype(vdtype), stk),
+                   jax.device_put(pm.ghost_colidx, stk),
+                   jax.device_put(pm.ghost_vals.astype(vdtype), stk))
+        op_shapes = (pm.own_vals.shape, pm.ghost_vals.shape)
+
+        def make_spmv(op_local, h, halo_fn):
+            oc, ov, gc, gv = op_local
+
+            def spmv(xx):
+                ghosts = halo_fn(xx, *h, AXIS)
+                return general_spmv_with_ghosts(oc, ov, gc, gv, xx, ghosts)
+            return spmv
+
+    hargs_h, halo_fn = _halo_plan(pm, halo)
     hargs = [jax.device_put(h, stk) for h in hargs_h]
 
     b_l = jax.device_put(scatter_vector(pm, np.asarray(b)).astype(vdtype), stk)
@@ -228,22 +287,22 @@ def solve_dist_general(pm: PartitionedMatrix, b: np.ndarray,
         (np.zeros((pm.P, pm.L), vdtype) if x0 is None
          else scatter_vector(pm, np.asarray(x0)).astype(vdtype)), stk)
 
-    key = ("general", _mesh_key(mesh), opt, method, history, halo)
+    # L/G in the key: the spmv closure bakes in the column-space lengths,
+    # which the slab shapes alone do not determine
+    key = ("general", _mesh_key(mesh), opt, method, history, halo,
+           operator, op_shapes, pm.L, pm.G, str(vdtype))
     run = _RUN_CACHE.get(key)
     if run is None:
         fn = _loop_fns(method, history)
-        nh = len(hargs)
+        nop = len(op_args)
 
-        def local(oc, ov, gc, gv, b_, x0_, *h):
-            # squeeze the per-device leading axis of stacked arrays
-            oc, ov, gc, gv = oc[0], ov[0], gc[0], gv[0]
-            b_, x0_ = b_[0], x0_[0]
-            h = tuple(a[0] for a in h)
-
-            def spmv(xx):
-                ghosts = halo_fn(xx, *h, AXIS)
-                return general_spmv_with_ghosts(oc, ov, gc, gv, xx, ghosts)
-
+        def local(*a):
+            # squeeze the per-device leading axis of every stacked array
+            sq = lambda t: jax.tree_util.tree_map(lambda v: v[0], t)
+            op_local = tuple(sq(t) for t in a[:nop])
+            b_, x0_ = a[nop][0], a[nop + 1][0]
+            h = tuple(v[0] for v in a[nop + 2:])
+            spmv = make_spmv(op_local, h, halo_fn)
             red = lambda v: lax.psum(v, AXIS)
             out = fn(spmv, b_, x0_, opt, red)
             if history:
@@ -255,13 +314,13 @@ def solve_dist_general(pm: PartitionedMatrix, b: np.ndarray,
         scalar_spec = dict(niterations=P(), converged=P(), bnrm2sqr=P(),
                            r0nrm2sqr=P(), rnrm2sqr=P(), x0nrm2sqr=P(),
                            dxnrm2sqr=P())
-        in_specs = tuple([P(AXIS)] * (6 + nh))
+        in_specs = tuple([P(AXIS)] * (nop + 2 + len(hargs)))
         out_specs = (P(AXIS), scalar_spec) if not history else \
             (P(AXIS), scalar_spec, P())
         run = jax.jit(shard_map(local, mesh=mesh, in_specs=in_specs,
                                 out_specs=out_specs, check_vma=False))
         _RUN_CACHE[key] = run
-    out = run(own_ci, own_v, gst_ci, gst_v, b_l, x0_l, *hargs)
+    out = run(*op_args, b_l, x0_l, *hargs)
     if history:
         xl, scalars, hist = out
         info = _info_from_scalars(scalars, hist)

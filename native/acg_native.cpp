@@ -804,8 +804,11 @@ int acg_ell_fill(const int64_t* rowptr, const int32_t* colidx,
 // (argsort/unique over nnz-length arrays) measured 418 s at 46M nnz.
 
 // Pass 1: distinct (tile, chunk) pairs in row-scan order with the max
-// per-row run length K.  Tables must have capacity nnz.
+// per-row run length K.  Tables must have capacity nnz.  ncols sizes the
+// chunk map — blocks may be rectangular (a partition's interface block
+// is L rows x G ghost columns), so the column count is NOT n.
 int acg_sell_scan(const int64_t* rowptr, const int32_t* colidx, int64_t n,
+                  int64_t ncols,
                   int64_t* tc_tile, int32_t* tc_chunk, int32_t* tc_k,
                   int64_t* n_tc_out) {
     int64_t n_tc = 0;
@@ -813,7 +816,7 @@ int acg_sell_scan(const int64_t* rowptr, const int32_t* colidx, int64_t n,
     // per-tile chunk map: chunk -> table index, reset per tile via stamps
     std::vector<int64_t> stamp;     // chunk -> last tile that touched it
     std::vector<int64_t> slot;      // chunk -> table index for that tile
-    const int64_t nchunks = (n + 127) >> 7;
+    const int64_t nchunks = (ncols + 127) >> 7;
     stamp.assign(nchunks, -1);
     slot.assign(nchunks, 0);
     for (int64_t t = 0; t < ntiles; t++) {
@@ -855,11 +858,11 @@ int acg_sell_scan(const int64_t* rowptr, const int32_t* colidx, int64_t n,
 // sorted tiles contiguously with per-bucket G strides; the flat slab
 // row is tile_base[t] + g).
 int acg_sell_entries(const int64_t* rowptr, const int32_t* colidx,
-                     int64_t n, const int64_t* tile_base,
+                     int64_t n, int64_t ncols, const int64_t* tile_base,
                      const int64_t* group_base,
                      int32_t* fr) {
     const int64_t ntiles = (n + 127) >> 7;
-    const int64_t nchunks = (n + 127) >> 7;
+    const int64_t nchunks = (ncols + 127) >> 7;
     std::vector<int64_t> stamp(nchunks, -1), slot(nchunks, 0);
     int64_t tc = 0;
     for (int64_t t = 0; t < ntiles; t++) {

@@ -57,6 +57,30 @@ def test_distributed_solve(matrix_file, tmp_path, capsys):
     assert val < 1e-5
 
 
+def test_distributed_sell_solve(matrix_file, tmp_path, capsys):
+    """--format sell with --nparts runs the distributed chunked-gather
+    operator (f32 storage)."""
+    out = tmp_path / "x.mtx"
+    rc = cli_main.main([str(matrix_file), "--manufactured-solution",
+                        "--nparts", "4", "--comm", "xla",
+                        "--format", "sell", "--dtype", "float32",
+                        "--partition-method", "bfs",
+                        "--max-iterations", "500", "--residual-rtol", "1e-6",
+                        "--warmup", "0", "-o", str(out)])
+    assert rc == 0
+    val = float(capsys.readouterr().err.split(
+        "manufactured solution error 2-norm: ")[1].splitlines()[0])
+    assert val < 1e-4
+
+
+def test_distributed_sell_rejects_f64(matrix_file, capsys):
+    with pytest.raises(SystemExit):
+        cli_main.main([str(matrix_file), "--manufactured-solution",
+                       "--nparts", "4", "--format", "sell",
+                       "--partition-method", "bfs", "--warmup", "0"])
+    assert "float32" in capsys.readouterr().err
+
+
 def test_distributed_with_partition_file(matrix_file, tmp_path, capsys):
     part_file = tmp_path / "part.mtx"
     with open(part_file, "wb") as f:

@@ -1,0 +1,155 @@
+"""Distributed SELL operator tests (8-virtual-device CPU mesh).
+
+The multi-chip unstructured fast path: per-device chunked-gather SELL
+kernels on the owned + interface blocks (parallel/dist_sell.py), the
+analogue of the reference running its merge-CSR kernel per rank on fa/oa
+(cg-kernels-cuda.cu:312-441 dispatched from cgcuda.c:855-899).  Oracles:
+scipy SpMV/solves and the gather-ELL distributed path."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from acg_tpu.io.generators import dia_to_coo, poisson2d_dia
+from acg_tpu.parallel.dist_sell import build_dist_sell
+from acg_tpu.partition.graph import build_partitioned_matrix
+from acg_tpu.partition.partitioner import (partition_bfs_recursive,
+                                           partition_contiguous)
+from acg_tpu.solvers.cg import CGOptions
+from acg_tpu.solvers.dist_cg import solve_dist_general
+
+
+def poisson_pm(n, nparts, rng, pad_to=8, pmethod="bfs"):
+    offsets, vals = poisson2d_dia(n)
+    ri, ci, a, N = dia_to_coo(offsets, vals)
+    A = sp.coo_matrix((a, (ri, ci)), shape=(N, N)).tocsr()
+    if pmethod == "bfs":
+        part = partition_bfs_recursive(A.indptr, A.indices, nparts, seed=0)
+    else:
+        part = partition_contiguous(N, nparts)
+    return A, build_partitioned_matrix(A, part, pad_to=pad_to)
+
+
+def random_spd(N, density, seed):
+    R = sp.random(N, N, density=density, random_state=seed, format="csr")
+    A = R + R.T + sp.eye(N) * (float(np.abs(R).sum(axis=1).max()) * 2 + 1)
+    A = sp.csr_matrix(A)
+    A.sort_indices()
+    return A
+
+
+def test_build_shapes_spmd_uniform(rng):
+    """shard_map needs identical per-part shapes: every bucket's stacked
+    slabs carry the part axis first and agree across owned/ghost lists."""
+    A, pm = poisson_pm(12, 4, rng)
+    dso = build_dist_sell(pm)
+    for blk in (dso.own, dso.gst):
+        assert len(blk.vals) == len(blk.lidx) == len(blk.cidx)
+        for v, l, c in zip(blk.vals, blk.lidx, blk.cidx):
+            assert v.shape[0] == pm.P and l.shape == v.shape
+            assert c.shape[0] == pm.P
+        assert blk.tile_order.shape[0] == pm.P
+    # every true nonzero is stored exactly once across both block types
+    assert dso.nnz_true == A.nnz
+    assert 0 < dso.fill <= 1
+
+
+@pytest.mark.parametrize("method", ["cg", "pipelined"])
+def test_dist_sell_manufactured(method, rng):
+    A, pm = poisson_pm(12, 4, rng)
+    N = A.shape[0]
+    xstar = rng.standard_normal(N)
+    xstar /= np.linalg.norm(xstar)
+    b = A @ xstar
+    opt = CGOptions(max_iterations=1000, residual_rtol=1e-6)
+    x, info = solve_dist_general(pm, b, opt=opt, method=method,
+                                 operator="sell")
+    assert info.converged
+    # f32 storage/arithmetic; the pipelined recurrences carry a bit more
+    # rounding than true CG
+    assert np.linalg.norm(x - xstar) < 1e-4
+
+
+def test_dist_sell_spmv_oracle(rng):
+    """r0 = b - A x0 at 0 iterations exercises halo + both SELL blocks
+    against scipy."""
+    A, pm = poisson_pm(10, 8, rng)
+    N = A.shape[0]
+    x0 = rng.standard_normal(N)
+    b = rng.standard_normal(N)
+    opt = CGOptions(max_iterations=0, residual_rtol=1e-30)
+    _, info = solve_dist_general(pm, b, x0=x0, opt=opt, operator="sell")
+    np.testing.assert_allclose(info.r0nrm2, np.linalg.norm(b - A @ x0),
+                               rtol=1e-5)
+
+
+def test_dist_sell_rectangular_ghost_block(rng):
+    """Scattered connectivity makes the interface block WIDER than tall
+    (G > L) — the case that overflowed the native scan's row-count-sized
+    chunk map."""
+    N = 512
+    A = random_spd(N, 0.06, seed=1)
+    part = partition_contiguous(N, 8)
+    pm = build_partitioned_matrix(A, part, pad_to=8)
+    assert pm.G > pm.L, "test intends the rectangular G > L regime"
+    xstar = rng.standard_normal(N)
+    xstar /= np.linalg.norm(xstar)
+    b = A @ xstar
+    opt = CGOptions(max_iterations=500, residual_rtol=1e-6)
+    x, info = solve_dist_general(pm, b, opt=opt, method="pipelined",
+                                 operator="sell")
+    assert info.converged
+    assert np.linalg.norm(x - xstar) < 1e-5
+
+
+def test_dist_sell_matches_ell_history(rng):
+    """Same solve through the gather-ELL operator at f32: histories agree
+    to f32 roundoff (different per-device summation order only)."""
+    A, pm = poisson_pm(10, 4, rng)
+    N = A.shape[0]
+    b = rng.standard_normal(N)
+    opt = CGOptions(max_iterations=20, residual_rtol=1e-30)
+    _, i_ell = solve_dist_general(pm, b, opt=opt, method="cg",
+                                  history=True, dtype=np.float32)
+    _, i_sell = solve_dist_general(pm, b, opt=opt, method="cg",
+                                   history=True, operator="sell")
+    np.testing.assert_allclose(i_ell.residual_history,
+                               i_sell.residual_history, rtol=2e-3)
+
+
+def test_dist_sell_prebuilt_operator_reused(rng):
+    """A prebuilt DistSellOperator skips the layout build and solves
+    identically."""
+    A, pm = poisson_pm(10, 4, rng)
+    N = A.shape[0]
+    b = rng.standard_normal(N)
+    dso = build_dist_sell(pm)
+    opt = CGOptions(max_iterations=50, residual_rtol=1e-5)
+    x1, i1 = solve_dist_general(pm, b, opt=opt, operator="sell")
+    x2, i2 = solve_dist_general(pm, b, opt=opt, operator="sell",
+                                sell_op=dso)
+    np.testing.assert_array_equal(x1, x2)
+    assert i1.niterations == i2.niterations
+
+
+def test_dist_sell_rejects_f64(rng):
+    A, pm = poisson_pm(8, 2, rng)
+    with pytest.raises(ValueError, match="float32"):
+        solve_dist_general(pm, np.ones(A.shape[0]), operator="sell",
+                           dtype=np.float64)
+
+
+def test_dist_sell_diagonal_empty_interface(rng):
+    """A block-diagonal system has (near-)empty interface blocks; the
+    layout build must handle zero-nnz CSR blocks."""
+    N = 256
+    d = rng.uniform(1.0, 2.0, N)
+    A = sp.diags(d).tocsr()
+    part = partition_contiguous(N, 4)
+    pm = build_partitioned_matrix(A, part, pad_to=8)
+    xstar = rng.standard_normal(N)
+    b = A @ xstar
+    opt = CGOptions(max_iterations=200, residual_rtol=1e-6)
+    x, info = solve_dist_general(pm, b, opt=opt, operator="sell")
+    assert info.converged
+    assert np.linalg.norm(x - xstar) / np.linalg.norm(xstar) < 1e-5
