@@ -340,8 +340,8 @@ def main(argv=None) -> int:
             else:
                 # explicit --format sell, or auto on a matrix with too many
                 # diagonals to band: the chunked-gather fast path
-                from ..core.sell import SellOperator
-                _op_cache["op"] = SellOperator.from_csr(
+                from ..core.sell import sell_from_csr
+                _op_cache["op"] = sell_from_csr(
                     A.to_scipy_full(args.epsilon), dtype=args.dtype)
                 log(args, f"SELL layout: S={_op_cache['op'].S} slots, "
                           f"fill={_op_cache['op'].fill:.3f}")

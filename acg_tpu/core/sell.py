@@ -35,9 +35,11 @@ G = slot groups per tile, S = 8·G stored slots):
 a (G, tiles, …) layout makes the per-step DMA G strided descriptors,
 measured slower than the whole compute)
 
-x is held entirely in VMEM by the kernel (ops/pallas_sell.py); N is
-bounded by the VMEM x budget (~3M rows f32) — column paneling for
-larger N is future work, enforced by an explicit error here.
+x is held entirely in VMEM by the kernel (ops/pallas_sell.py); a single
+SellOperator's column space is bounded by the VMEM x budget (~3M f32).
+Wider matrices use PaneledSellOperator / sell_from_csr: PANEL_COLS-wide
+column panels, each an independent SellOperator over only the row tiles
+that touch the panel, combined by tile-granular scatter-add.
 """
 
 from __future__ import annotations
@@ -87,6 +89,12 @@ def _scatter_slabs(fr, rho, val, lane, rows2: int):
 # resident x budget (f32 elements): xv scratch + double-buffered slabs
 # must fit the 16M VMEM; 3M rows of f32 is 12M bytes
 MAX_VMEM_ROWS = 3_000_000
+
+# column-panel width for matrices whose x outgrows the VMEM budget: 2^21
+# f32 elements = 8 MB of x, leaving ~6 MB for the double-buffered slabs
+# (G_b up to ~192 groups/tile) — vs 3M-wide panels which would squeeze
+# the slab budget to 2 MB
+PANEL_COLS = 2_097_152
 
 # tiles are sorted by group count into this many buckets, each padded to
 # its own G_b (instead of the global max — measured 44% wasted slots)
@@ -354,8 +362,8 @@ class SellOperator:
         if ncols > MAX_VMEM_ROWS:
             raise NotImplementedError(
                 f"SellOperator holds x resident in VMEM; ncols={ncols:,} "
-                f"exceeds the {MAX_VMEM_ROWS:,}-row budget (column "
-                "paneling not implemented)")
+                f"exceeds the {MAX_VMEM_ROWS:,}-row budget — use "
+                "sell_from_csr, which column-panels matrices this wide")
         nnz = int(A.indices.shape[0])
         ntiles = _round_up(max(N, 1), BLOCK_TILES * 128) // 128
 
@@ -423,3 +431,132 @@ class SellOperator:
         isz = self.vals[0].dtype.itemsize
         return sum(v.size for v in self.vals) * isz \
             + sum(l.size for l in self.lidx) * 4 + 2 * self.Np * isz
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class PaneledSellOperator:
+    """Column-paneled chunked-gather operator for matrices whose x
+    outgrows the kernel's VMEM residency budget (the reference's merge
+    kernel streams x from global memory and has no such cap,
+    cg-kernels-cuda.cu:358-441; on TPU the analogue is paneling).
+
+    The column space splits into PANEL_COLS-wide ranges and
+    y = Σ_p A[:, p] @ x[p].  Each panel's SellOperator covers ONLY the
+    row tiles with at least one entry in that panel (``panel_tiles``) —
+    on a banded/RCM'd matrix most tiles touch one panel, so without the
+    subset every panel would carry min-8-group all-zero slabs for every
+    foreign tile (≈8 KB of dead traffic per (tile, panel) pair, GBs at
+    4M rows).  Group counts are per (tile, chunk) and every chunk lands
+    in exactly one panel, so the TOTAL stored slots stay close to the
+    unpaneled layout; the overhead is per-panel bucket padding plus one
+    tile-granular scatter-add per panel."""
+
+    panels: tuple              # of SellOperator over the panel's tiles
+    panel_tiles: tuple         # of (ntiles_p,) int32 — global tile ids
+    col_starts: tuple          # static: first column of each panel
+    N: int
+    ncols: int
+    nnz_true: int
+
+    def tree_flatten(self):
+        return (self.panels, self.panel_tiles), \
+            (self.col_starts, self.N, self.ncols, self.nnz_true)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    @property
+    def dtype(self):
+        return self.panels[0].dtype if self.panels \
+            else jnp.dtype(jnp.float32)
+
+    @property
+    def Np(self) -> int:
+        return _round_up(max(self.N, 1), 128)
+
+    @property
+    def ntiles(self) -> int:
+        return self.Np // 128
+
+    @property
+    def S(self) -> int:
+        return -(-self.nnz // self.Np)
+
+    @property
+    def G(self) -> int:
+        return max((p.G for p in self.panels), default=0)
+
+    @property
+    def nnz(self) -> int:
+        return sum(p.nnz for p in self.panels)
+
+    @property
+    def fill(self) -> float:
+        return self.nnz_true / max(self.nnz, 1)
+
+    def spmv(self, x: jnp.ndarray) -> jnp.ndarray:
+        """y = Σ panels.  Panel boundaries and tile subsets are static,
+        so the x slices trace to free views; each panel's sub-SpMV runs
+        the normal bucketed kernels over its own tiles and one
+        tile-granular scatter-add (indices unique WITHIN a panel)
+        accumulates into the global row space."""
+        y2 = jnp.zeros((self.ntiles, 128), self.dtype)
+        for op, tiles, s in zip(self.panels, self.panel_tiles,
+                                self.col_starts):
+            yp = op.spmv(x[s:s + op.ncols])
+            yp = yp.reshape(-1, 128)[:tiles.shape[0]]
+            y2 = y2.at[tiles].add(yp, unique_indices=True)
+        return y2.reshape(-1)
+
+    def flops_per_spmv(self) -> int:
+        return 2 * self.nnz_true
+
+    def bytes_per_spmv(self) -> int:
+        isz = self.dtype.itemsize
+        slabs = sum(sum(v.size for v in p.vals) * isz
+                    + sum(l.size for l in p.lidx) * 4 for p in self.panels)
+        return slabs + self.ncols * isz + 2 * self.Np * isz
+
+
+def sell_from_csr(A, dtype=np.float32,
+                  max_stored_bytes: int = 13 * 1024**3):
+    """Build the chunked-gather operator for a CSR matrix of ANY width:
+    a plain SellOperator when x fits VMEM, a PaneledSellOperator above
+    that (scipy's contiguous column slicing and tile-row extraction are
+    single C passes per panel)."""
+    A = A.tocsr()
+    N, ncols = A.shape
+    if ncols <= MAX_VMEM_ROWS:
+        return SellOperator.from_csr(A, dtype=dtype,
+                                     max_stored_bytes=max_stored_bytes)
+    import scipy.sparse as sp
+    Np = _round_up(max(N, 1), 128)
+    # pad rows to the tile multiple once so tile slicing is exact
+    indptr = np.concatenate(
+        [A.indptr, np.full(Np - N, A.indptr[-1], A.indptr.dtype)])
+    Ar = sp.csr_matrix((A.data, A.indices, indptr), shape=(Np, ncols))
+    npanels = -(-ncols // PANEL_COLS)
+    width = _round_up(-(-ncols // npanels), 1024)
+    panels, tiles_l, starts = [], [], []
+    budget = max_stored_bytes
+    for s in range(0, ncols, width):
+        Ac = Ar[:, s:min(s + width, ncols)].tocsr()
+        tile_nnz = np.add.reduceat(np.diff(Ac.indptr),
+                                   np.arange(0, Np, 128))
+        tiles = np.nonzero(tile_nnz)[0].astype(np.int32)
+        if not len(tiles):
+            continue
+        rows = (tiles.astype(np.int64)[:, None] * 128
+                + np.arange(128)).ravel()
+        p = SellOperator.from_csr(Ac[rows], dtype=dtype,
+                                  max_stored_bytes=budget)
+        budget -= p.nnz * (np.dtype(dtype).itemsize + 4)
+        panels.append(p)
+        tiles_l.append(jnp.asarray(tiles))
+        starts.append(s)
+    return PaneledSellOperator(panels=tuple(panels),
+                               panel_tiles=tuple(tiles_l),
+                               col_starts=tuple(starts),
+                               N=N, ncols=ncols, nnz_true=int(A.nnz))
