@@ -61,6 +61,18 @@ def _round_up(x: int, m: int) -> int:
 BLOCK_TILES = 2
 
 
+def pack_lidx(l4):
+    """(nb, g, 8, 128) lane table → (nb, g//4, 8, 128) int32 with four
+    groups packed per word along the G axis (lane ids are 7-bit: byte k
+    of word [t, g, s, l] is group 4g+k's lane).  Cuts the lidx slab DMA
+    4× — the kernel unpacks with one shift+mask per group
+    (ops/pallas_sell.py).  Works on numpy and device arrays alike."""
+    nb, g = l4.shape[0], l4.shape[1]
+    w = l4.reshape(nb, g // 4, 4, 8, 128)
+    return (w[:, :, 0] | (w[:, :, 1] << 8) | (w[:, :, 2] << 16)
+            | (w[:, :, 3] << 24))
+
+
 def cidx_flat_pad(cidx_a: np.ndarray) -> np.ndarray:
     """(ntiles, G) chunk table → Sc-padded flat (ntiles*Sc,) int32 numpy
     array, the exact form the kernel DMA's to SMEM (Sc = G rounded so
@@ -270,8 +282,8 @@ def sell_fill_phase(A, scan: dict, sort_order: np.ndarray, buckets,
         cidx_a[pair_tile_sorted[sel] - s, pair_g[sel]] = chunk_rep[sel]
         vals_t.append(vals2[rs * 8:(rs + nb * g) * 8]
                       .reshape(nb, g, 8, 128))
-        lidx_t.append(lidx2[rs * 8:(rs + nb * g) * 8]
-                      .reshape(nb, g, 8, 128))
+        lidx_t.append(pack_lidx(lidx2[rs * 8:(rs + nb * g) * 8]
+                                .reshape(nb, g, 8, 128)))
         cidx_t.append(cidx_a)
     return vals_t, lidx_t, cidx_t
 
@@ -380,7 +392,7 @@ class SellOperator:
         isz = np.dtype(dtype).itemsize
         rows_total = sum((e - s) * g for (s, e), g in zip(buckets, G_b))
         stored = 8 * rows_total * 128
-        need = stored * (isz + 4)
+        need = stored * (isz + 1)          # vals + 4:1-packed lidx
         if need > max_stored_bytes:
             raise MemoryError(
                 f"SELL layout would store {stored:,} slots "
@@ -388,8 +400,9 @@ class SellOperator:
                 f"max_stored_bytes={max_stored_bytes / 1e9:.1f} GB; the "
                 "matrix is too irregular for the chunked-gather format at "
                 "this scale")
-        # kernel VMEM working set: double-buffered vals+lidx blocks + x
-        vmem = (2 * max(G_b) * BLOCK_TILES * 1024 * (isz + 4)
+        # kernel VMEM working set: double-buffered vals + packed-lidx
+        # blocks + x
+        vmem = (2 * max(G_b) * BLOCK_TILES * 1024 * (isz + 1)
                 + _round_up(max(ncols, 1), 1024) * isz)
         if vmem > 14 * 1024 * 1024:
             raise MemoryError(

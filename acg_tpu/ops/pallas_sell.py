@@ -91,14 +91,14 @@ def _sell_kernel(G, T, Sc, x_hbm, cidx_hbm, vals_ref, lidx_ref, y_ref,
         for t in range(T):           # static, small (BLOCK_TILES)
             tbase = jnp.int32(t * Sc)
 
-            def one(g8):
+            def one_group(g8, lidx8):
                 # a group's 8 slots share one chunk: broadcast its 128
                 # x-values across sublanes and resolve all 8 slots with
                 # a single lane-gather
                 c = cidx_ref[tbase + g8]
                 row = xv[c >> 3, c & 7][None, :]
                 op2 = jnp.broadcast_to(row, (8, 128))
-                g = _take_lanes(op2, lidx_ref[t, g8])    # (8, 128)
+                g = _take_lanes(op2, lidx8)              # (8, 128)
                 contrib = vals_ref[t, g8] * g
                 return jnp.sum(contrib, axis=0)          # (128,) rows
 
@@ -107,9 +107,15 @@ def _sell_kernel(G, T, Sc, x_hbm, cidx_hbm, vals_ref, lidx_ref, y_ref,
                 # a single carried acc serializes the whole
                 # gather→mul→reduce→add chain (measured ~87 cycles/group
                 # un-unrolled, ~26 at 4-way — latency- not
-                # throughput-bound)
+                # throughput-bound).  lidx ships 4 groups per int32 word
+                # (7-bit lane ids): two packed (8, 128) loads + one
+                # shift+mask per group replace four times the DMA bytes.
                 g0 = q * jnp.int32(8)
-                return tuple(a + one(g0 + jnp.int32(k))
+                w0 = lidx_ref[t, two * q]
+                w1 = lidx_ref[t, two * q + one]
+                lanes = [(w >> jnp.int32(8 * k)) & jnp.int32(127)
+                         for w in (w0, w1) for k in range(4)]
+                return tuple(a + one_group(g0 + jnp.int32(k), lanes[k])
                              for k, a in enumerate(accs))
             # int32 loop bounds: python-int bounds trace to int64 under
             # jax_enable_x64 and Mosaic's convert lowering recurses
@@ -135,18 +141,23 @@ def sell_spmv(vals: jnp.ndarray, lidx: jnp.ndarray, cidx: jnp.ndarray,
               x: jnp.ndarray, Nx: int) -> jnp.ndarray:
     """y = A @ x for one SellOperator bucket.
 
-    vals/lidx: (ntiles_b, G, 8, 128); cidx: the Sc-padded FLAT
-    (ntiles_b*Sc,) int32 chunk table (core.sell.cidx_flat_pad — padded at
-    build time so no per-call pad is traced into the solve loop), or a
-    raw (ntiles_b, G) table for standalone use (padded here).  x is the
-    FULL column-space vector, padded/truncated here to Nx (the
-    1024-aligned column count) — bucket row counts and the column space
-    are independent."""
+    vals: (ntiles_b, G, 8, 128); lidx: (ntiles_b, G//4, 8, 128) int32 —
+    PACKED four groups per word along the G axis (lane ids are 7-bit;
+    byte k of word [t, g, s, l] is the lane for group 4g+k, sub-slot s,
+    row l — core.sell.pack_lidx); cidx: the Sc-padded FLAT (ntiles_b*Sc,)
+    int32 chunk table (core.sell.cidx_flat_pad — padded at build time so
+    no per-call pad is traced into the solve loop), or a raw (ntiles_b,
+    G) table for standalone use (padded here).  x is the FULL
+    column-space vector, padded/truncated here to Nx (the 1024-aligned
+    column count) — bucket row counts and the column space are
+    independent."""
     if vals.dtype == jnp.float64 and jax.default_backend() != "cpu":
         raise NotImplementedError(
             "Mosaic has no f64 tiling on TPU; build the SellOperator with "
             "dtype=float32 (dot_dtype='mixed' keeps f64-quality reductions)")
     ntiles, G = vals.shape[0], vals.shape[1]
+    assert G % 8 == 0 and lidx.shape == (ntiles, G // 4, 8, 128), \
+        (vals.shape, lidx.shape)
     Np = ntiles * 128
     T = BLOCK_TILES
     assert ntiles % T == 0
@@ -185,8 +196,8 @@ def sell_spmv(vals: jnp.ndarray, lidx: jnp.ndarray, cidx: jnp.ndarray,
             pl.BlockSpec(memory_space=pltpu.HBM),              # cidx
             pl.BlockSpec((T, G, 8, 128), lambda i: (i, z32, z32, z32),
                          memory_space=pltpu.VMEM),             # vals
-            pl.BlockSpec((T, G, 8, 128), lambda i: (i, z32, z32, z32),
-                         memory_space=pltpu.VMEM),             # lidx
+            pl.BlockSpec((T, G // 4, 8, 128), lambda i: (i, z32, z32, z32),
+                         memory_space=pltpu.VMEM),             # lidx packed
         ],
         out_specs=pl.BlockSpec((T, 1, 128), lambda i: (i, z32, z32),
                                memory_space=pltpu.VMEM),
@@ -200,7 +211,7 @@ def sell_spmv(vals: jnp.ndarray, lidx: jnp.ndarray, cidx: jnp.ndarray,
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * 8 * G * Np,
-            bytes_accessed=(8 * G * Np * (vals.dtype.itemsize + 4)
+            bytes_accessed=(8 * G * Np * (vals.dtype.itemsize + 1)
                             + Nx * vals.dtype.itemsize
                             + Np * vals.dtype.itemsize),
             transcendentals=0,

@@ -46,7 +46,10 @@ def test_build_shapes_spmd_uniform(rng):
     for blk in (dso.own, dso.gst):
         assert len(blk.vals) == len(blk.lidx) == len(blk.cidx)
         for v, l, c in zip(blk.vals, blk.lidx, blk.cidx):
-            assert v.shape[0] == pm.P and l.shape == v.shape
+            assert v.shape[0] == pm.P
+            # lidx packs four groups per int32 word along the G axis
+            assert l.shape == (v.shape[0], v.shape[1], v.shape[2] // 4,
+                               8, 128)
             assert c.shape[0] == pm.P
         assert blk.tile_order.shape[0] == pm.P
     # every true nonzero is stored exactly once across both block types
