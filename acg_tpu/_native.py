@@ -53,6 +53,13 @@ def _load():
             lib.acg_rcm_order.argtypes = [
                 ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
                 ctypes.c_int64, ctypes.POINTER(ctypes.c_int64)]
+            if hasattr(lib, "acg_cluster_order"):
+                lib.acg_cluster_order.restype = ctypes.c_int
+                lib.acg_cluster_order.argtypes = [
+                    ctypes.POINTER(ctypes.c_int64),
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.c_int64, ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_int64)]
             if hasattr(lib, "acg_radix_sort_i64"):
                 lib.acg_radix_sort_i64.restype = ctypes.c_int
                 lib.acg_radix_sort_i64.argtypes = [
@@ -166,6 +173,29 @@ def rcm_order(rowptr: np.ndarray, colidx: np.ndarray) -> np.ndarray:
         n, perm.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
     if err != 0:
         raise ValueError(f"native RCM failed with code {err}")
+    return perm
+
+
+def has_cluster_order() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "acg_cluster_order")
+
+
+def cluster_order(rowptr: np.ndarray, colidx: np.ndarray,
+                  ball: int = 128) -> np.ndarray:
+    """Greedy BFS-ball clustering permutation (see acg_cluster_order)."""
+    lib = _load()
+    assert lib is not None and hasattr(lib, "acg_cluster_order")
+    rowptr = np.ascontiguousarray(rowptr, dtype=np.int64)
+    colidx = np.ascontiguousarray(colidx, dtype=np.int32)
+    n = rowptr.shape[0] - 1
+    perm = np.empty(n, dtype=np.int64)
+    err = lib.acg_cluster_order(
+        rowptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        colidx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n, ball, perm.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    if err != 0:
+        raise ValueError(f"native cluster order failed with code {err}")
     return perm
 
 

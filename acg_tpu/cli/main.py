@@ -57,7 +57,8 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--partition-method", default="contiguous",
                    choices=("contiguous", "bfs", "metis-like"),
                    help="partitioner when no --partition file is given [contiguous]")
-    g.add_argument("--reorder", default="none", choices=("none", "rcm", "nd"),
+    g.add_argument("--reorder", default="none",
+                   choices=("none", "rcm", "nd", "cluster"),
                    help="symmetric row/column reordering applied before "
                         "solving: rcm reduces bandwidth (enables the DIA "
                         "fast path on unstructured matrices) [none]")
@@ -191,11 +192,13 @@ def main(argv=None) -> int:
 
     perm = None
     if args.reorder != "none":
-        from ..partition.ordering import bandwidth, nd_order, rcm_order
+        from ..partition.ordering import (bandwidth, cluster_order,
+                                          nd_order, rcm_order)
         with timer.phase("reorder"):
             full = A.to_scipy_full()
             bw0 = bandwidth(full.indptr, full.indices)
-            order_fn = rcm_order if args.reorder == "rcm" else nd_order
+            order_fn = {"rcm": rcm_order, "nd": nd_order,
+                        "cluster": cluster_order}[args.reorder]
             perm = order_fn(full.indptr.astype(np.int64),
                             full.indices.astype(np.int64))
             A = A.permuted(perm)

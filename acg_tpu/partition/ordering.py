@@ -76,6 +76,63 @@ def rcm_order(rowptr: np.ndarray, colidx: np.ndarray) -> np.ndarray:
     return _rcm_python(np.asarray(rowptr), np.asarray(colidx))
 
 
+def _cluster_python(rowptr: np.ndarray, colidx: np.ndarray,
+                    ball: int) -> np.ndarray:
+    """Greedy BFS-ball clustering, pure-Python fallback."""
+    n = rowptr.shape[0] - 1
+    visited = np.zeros(n, dtype=bool)
+    perm = np.empty(n, dtype=np.int64)
+    idx = 0
+    scan = 0
+    frontier = 0
+    while idx < n:
+        seed = -1
+        while frontier < idx and seed < 0:
+            u = perm[frontier]
+            nb = colidx[rowptr[u]:rowptr[u + 1]]
+            un = nb[~visited[nb]]
+            if un.size:
+                seed = int(un[0])
+            else:
+                frontier += 1
+        if seed < 0:
+            while scan < n and visited[scan]:
+                scan += 1
+            seed = scan
+        ballq = [seed]
+        visited[seed] = True
+        head = 0
+        while head < len(ballq) and len(ballq) < ball:
+            u = ballq[head]
+            head += 1
+            nb = colidx[rowptr[u]:rowptr[u + 1]]
+            for v in nb[~visited[nb]][: ball - len(ballq)]:
+                visited[v] = True
+                ballq.append(int(v))
+        perm[idx: idx + len(ballq)] = ballq
+        idx += len(ballq)
+    return perm
+
+
+def cluster_order(rowptr: np.ndarray, colidx: np.ndarray,
+                  ball: int = 128) -> np.ndarray:
+    """Greedy BFS-ball clustering: emit consecutive compact
+    neighbourhoods of ~``ball`` vertices (2-D locality) instead of RCM's
+    thin BFS-level slices (1-D bandwidth).  This is the SELL fill lever:
+    a 128-row tile of the permuted matrix is a graph ball, so its rows
+    share column chunks and the per-(tile, chunk) lane density rises
+    (measured fill 0.122 → ~0.15 on a 3-dof mesh solid vs RCM; the same
+    role as a Morton order on mesh coordinates, but coordinate-free).
+    The reference leans on RCM/METIS orderings only (metis.h:148-263) —
+    its merge-CSR kernel is insensitive to ordering; the chunked-gather
+    format is not."""
+    if _native.has_cluster_order():
+        return _native.cluster_order(np.asarray(rowptr, dtype=np.int64),
+                                     np.asarray(colidx, dtype=np.int32),
+                                     ball)
+    return _cluster_python(np.asarray(rowptr), np.asarray(colidx), ball)
+
+
 def nd_order(rowptr: np.ndarray, colidx: np.ndarray,
              leaf_size: int = 64, seed: int = 0) -> np.ndarray:
     """Nested-dissection permutation (metis_nd/metis_ndsym analogue).
