@@ -465,6 +465,99 @@ def pipelined_cg_loop_fused(op, b, x0, opt: CGOptions,
     return x, scalars
 
 
+def pipelined_cg_loop_fused_spmv(spmv: Callable, b, x0, opt: CGOptions,
+                                 reduce_fn: Callable = lambda v: v):
+    """Pipelined CG where each iteration is TWO fused passes: the
+    operator's own SpMV kernel (any closure — SELL chunked-gather, ELL,
+    a distributed halo+SpMV) followed by ONE Pallas pass doing the
+    6-vector Gear/Chronopoulos update plus both dot reductions
+    (ops/pallas_update.py).  This is the device-initiated one-pass
+    iteration of the reference's general-partition pipelined kernel
+    (cg-kernels-cuda.cu:1316-1711) for operators whose SpMV cannot fuse
+    into a windowed streaming pass the way DIA does.
+
+    Works for any vector length: vectors are zero-padded once to a
+    1024-aligned block multiple (Mosaic 1-D f32 tiling); the SpMV sees
+    the original length.  f32 vectors only; dots are "mixed"-quality
+    (f32 blockwise + (hi, lo) two_sum carry, combined in f64).
+    """
+    from ..ops.pallas_update import fused_update_iter, pick_block_update
+
+    if opt.needs_diff:
+        raise ValueError("diff-based stopping criteria are not supported by "
+                         "the fused pipelined solver")
+    if b.dtype != jnp.float32:
+        raise ValueError("pipelined-fused requires float32 vectors "
+                         f"(got {b.dtype}); use method='pipelined' for f64")
+    dd = jnp.dtype(jnp.float64)
+    Np = b.shape[0]
+    block = pick_block_update(Np)
+    Npad = -(-Np // block) * block
+
+    if Npad == Np:
+        pad = unpad = lambda v: v
+    else:
+        zpad = jnp.zeros((Npad - Np,), b.dtype)
+        pad = lambda v: jnp.concatenate([v, zpad])
+        unpad = lambda v: v[:Np]
+
+    bnrm2sqr = reduce_fn(nrm2sqr(b, "mixed"))
+    x0nrm2sqr = reduce_fn(nrm2sqr(x0, "mixed"))
+    r = b - spmv(x0)
+    w = spmv(r)
+    gd0 = reduce_fn(dot2(r, r, w, r, "mixed"))
+    gamma0, delta0 = gd0[0], gd0[1]
+    zeros = jnp.zeros((Npad,), b.dtype)
+
+    def cond(state):
+        (x, r, w, z, t, p, gamma, delta, gprev, aprev, k, conv) = state
+        return (k < opt.max_iterations) & jnp.logical_not(conv)
+
+    zero = jnp.array(0.0, dd)
+
+    def step(state):
+        (x, r, w, z, t, p, gamma, delta, gprev, aprev, k, conv) = state
+        frozen = conv | (k >= opt.max_iterations)
+        beta = jnp.where(k == 0, zero, gamma / gprev)
+        alpha = jnp.where(frozen, zero,
+                          gamma / (delta - beta * gamma / aprev))
+        with jax.named_scope("acg.spmv"):
+            q = pad(spmv(unpad(w)))
+        sc = jnp.stack([alpha, beta]).astype(jnp.float32).reshape(1, 2)
+        with jax.named_scope("acg.fused_update"):
+            x2, r2, w2, z2, t2, p2, gd = fused_update_iter(
+                q, x, r, w, z, t, p, sc, block)
+        gd = reduce_fn(gd)
+        gamma_new = jnp.where(frozen, gamma, gd[0])
+        delta_new = jnp.where(frozen, delta, gd[1])
+        conv = conv | _converged(gamma_new, jnp.array(jnp.inf, dd),
+                                 bnrm2sqr, x0nrm2sqr, opt)
+        gprev_new = jnp.where(frozen, gprev, gamma)
+        aprev_new = jnp.where(frozen, aprev, alpha)
+        k = k + jnp.where(frozen, 0, 1).astype(jnp.int32)
+        return (x2, r2, w2, z2, t2, p2, gamma_new, delta_new,
+                gprev_new, aprev_new, k, conv)
+
+    if opt.check_every <= 1:
+        body = step
+    else:
+        def body(state):
+            return jax.lax.fori_loop(0, opt.check_every,
+                                     lambda i, s: step(s), state)
+
+    conv0 = _converged(gamma0, jnp.array(jnp.inf, dd), bnrm2sqr,
+                       x0nrm2sqr, opt)
+    state = (pad(x0), pad(r), pad(w), zeros, zeros, zeros, gamma0, delta0,
+             jnp.array(1.0, dd), jnp.array(1.0, dd), jnp.int32(0), conv0)
+    out = jax.lax.while_loop(cond, body, state)
+    (x, r, w, z, t, p, gamma, delta, gprev, aprev, k, conv) = out
+    scalars = dict(niterations=k, converged=conv,
+                   bnrm2sqr=bnrm2sqr, r0nrm2sqr=gamma0, rnrm2sqr=gamma,
+                   x0nrm2sqr=x0nrm2sqr,
+                   dxnrm2sqr=jnp.array(jnp.inf, dd))
+    return unpad(x), scalars
+
+
 def pipelined_cg_loop_df64(op, b, x0, opt: CGOptions,
                            reduce_fn: Callable = lambda v: v,
                            spmv: Callable | None = None,
@@ -608,6 +701,10 @@ def _run_single(op, bp, x0p, opt: CGOptions, method: str, history: bool,
         if history:
             raise ValueError("pipelined-fused has no history variant; use "
                              "method='pipelined' for residual histories")
+        if not hasattr(op, "offsets"):
+            # non-DIA operators (SELL/ELL): SpMV is its own kernel pass;
+            # fuse the update + dots into a second pass
+            return pipelined_cg_loop_fused_spmv(op.spmv, bp, x0p, opt)
         return pipelined_cg_loop_fused(op, bp, x0p, opt)
     if method == "pipelined-df64":
         if history:

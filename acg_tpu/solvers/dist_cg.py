@@ -293,7 +293,13 @@ def solve_dist_general(pm: PartitionedMatrix, b: np.ndarray,
            operator, op_shapes, pm.L, pm.G, str(vdtype))
     run = _RUN_CACHE.get(key)
     if run is None:
-        fn = _loop_fns(method, history)
+        if method == "pipelined-fused":
+            if history:
+                raise ValueError("pipelined-fused has no history variant")
+            from .cg import pipelined_cg_loop_fused_spmv
+            fn = pipelined_cg_loop_fused_spmv
+        else:
+            fn = _loop_fns(method, history)
         nop = len(op_args)
 
         def local(*a):
