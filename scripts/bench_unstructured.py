@@ -130,9 +130,10 @@ def main():
     A = build_matrix(nodes)
     # the framework's own preprocessing: BFS-ball clustering order packs
     # each 128-row tile with a compact graph neighbourhood — the SELL
-    # fill lever (partition/ordering.cluster_order; RCM fill 0.10 →
-    # ~0.24 on these systems).  ACG_ORDER=rcm benches the RCM'd input
-    # directly.
+    # fill lever (partition/ordering.cluster_order; measured RCM fill
+    # 0.102 → 0.121 and 6.92 → 8.03 Gnnz/s on the 600k-row system;
+    # fill plateaus for ball ≥ 192, scripts/exp_ball_sweep.py).
+    # ACG_ORDER=rcm benches the RCM'd input directly.
     if os.environ.get("ACG_ORDER", "cluster") == "cluster":
         from acg_tpu.partition.ordering import cluster_order
         t0 = time.perf_counter()
