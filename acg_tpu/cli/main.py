@@ -31,6 +31,8 @@ SOLVERS = ("acg", "acg-pipelined", "acg-host", "acg-host-pipelined",
            # these are aliases of acg / acg-pipelined (DESIGN.md)
            "acg-fused",   # one-pass pipelined iteration kernel (DIA, 1 chip)
            "acg-df64",    # double-f32 fused kernel: f64-quality at VPU speed
+           "acg-auto",    # precision auto-escalation: f32 fast path, then a
+           # df64 restart only if the tolerance demands it (solvers/auto.py)
            "scipy", "petsc", "jax-ref")
 
 
@@ -250,6 +252,21 @@ def main(argv=None) -> int:
         if args.solver == "jax-ref":
             op = _make_op()
             return solve_jax_ref(op, b, x0, opt)
+        if args.solver == "acg-auto":
+            if nparts > 1:
+                print("error: --solver acg-auto is single-device "
+                      "(use acg-pipelined with --nparts)", file=sys.stderr)
+                raise SystemExit(1)
+            if dia is None:
+                print("error: --solver acg-auto requires the DIA format "
+                      "(use --reorder rcm, or acg-pipelined with --format "
+                      "sell --dtype float32)", file=sys.stderr)
+                raise SystemExit(1)
+            from ..solvers.auto import solve_auto
+            offsets, vals = dia
+            op64 = DiaOperator.from_arrays(offsets, vals, dtype=np.float64,
+                                           backend="xla")
+            return solve_auto(op64, b, x0, opt, verbose=args.verbose > 0)
         if args.solver in ("acg-fused", "acg-df64"):
             if nparts > 1:
                 print(f"error: --solver {args.solver} is single-device "

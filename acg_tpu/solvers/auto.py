@@ -1,0 +1,102 @@
+"""Precision auto-escalation: f32 fast path + df64 restart.
+
+The TPU fast path stores f32 and accumulates dots blockwise ("mixed");
+its achievable residual is floored at ~1e-5 relative by f32 rounding in
+the pipelined recurrences (measured on the 2048^2 Poisson system:
+rnrm/bnrm stalls at 1.5e-5, BENCHMARKS.md).  The reference always
+computes in f64 (acg-cuda.c:489-530 defaults), so a user asking for
+rtol 1e-6 through the fast path would spin to the iteration cap.
+
+``solve_auto`` delivers the reference's convergence semantics at fast-
+path speed: it runs the f32 pipelined solver down to the floor, then —
+only if the requested tolerance demands more — restarts the df64
+(double-f32) solver from the f32 iterate.  CG restarts cleanly from any
+x0, so the first stage's digits are kept and the expensive df64
+iterations only refine the tail (measured: df64 is ~3x the f32 cost per
+iteration, so finishing the last decade in df64 beats running it end to
+end).  This is the "mixed-precision escalation" analogue of iterative
+refinement for Krylov solvers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .cg import CGOptions, SolveInfo, solve
+
+# Measured f32-pipelined relative-residual floor with a safety decade:
+# the 2048^2 Poisson run stalls at rnrm/bnrm = 1.5e-5; requesting more
+# than 1e-4 from the f32 stage risks spinning at the floor on worse-
+# conditioned systems.
+F32_RTOL_FLOOR = 1e-4
+
+
+def _needs_escalation(opt: CGOptions, bnrm: float) -> bool:
+    """True if the requested tolerance is below what f32 can deliver."""
+    if opt.residual_rtol > 0 and opt.residual_rtol < F32_RTOL_FLOOR:
+        return True
+    if opt.residual_atol > 0 and opt.residual_atol < F32_RTOL_FLOOR * bnrm:
+        return True
+    return False
+
+
+def solve_auto(op64, b: np.ndarray, x0: np.ndarray | None = None,
+               opt: CGOptions = CGOptions(), op32=None,
+               method32: str = "pipelined-fused", verbose: bool = False):
+    """Solve with automatic precision selection/escalation.
+
+    ``op64`` is the f64 operator (DiaOperator, backend xla) used by the
+    df64 stage; ``op32`` the f32 fast-path twin (built from ``op64`` if
+    omitted — DIA only).  Residual-based stopping criteria only.
+    Returns (x (N,) numpy float64, SolveInfo) where ``niterations``
+    counts both stages.
+    """
+    if opt.needs_diff:
+        raise ValueError("solve_auto supports residual-based stopping "
+                         "criteria only (diff criteria need the unfused "
+                         "f64 solver)")
+    if op32 is None:
+        from ..core.dia import DiaOperator
+        if not hasattr(op64, "offsets"):
+            raise ValueError("op32 must be provided for non-DIA operators")
+        # op64.vals is already column-padded to op64.Np; slice back to N so
+        # from_arrays re-pads consistently with the f32 backend's pad_to
+        op32 = DiaOperator.from_arrays(
+            np.asarray(op64.offsets),
+            np.asarray(op64.vals, dtype=np.float64)[:, :op64.N],
+            dtype=np.float32, backend="pallas")
+
+    bnrm = float(np.linalg.norm(np.asarray(b, dtype=np.float64)))
+    escalate = _needs_escalation(opt, bnrm)
+
+    # Stage 1: f32 fast path, clamped to its floor.  When no escalation
+    # is needed this is the whole solve.
+    import dataclasses
+    rtol1 = opt.residual_rtol if not escalate else \
+        max(opt.residual_rtol, F32_RTOL_FLOOR)
+    atol1 = opt.residual_atol if not escalate else \
+        max(opt.residual_atol, F32_RTOL_FLOOR * bnrm)
+    opt1 = dataclasses.replace(opt, residual_rtol=rtol1,
+                               residual_atol=atol1, dot_dtype="mixed")
+    x1, info1 = solve(op32, b, x0=x0, opt=opt1, method=method32)
+    if not escalate:
+        return x1.astype(np.float64), info1
+    if verbose:
+        print(f"auto: f32 stage {info1.niterations} iters, "
+              f"rnrm {info1.rnrm2:.3e}; escalating to df64")
+
+    # Stage 2: df64 restart from the f32 iterate, original tolerances.
+    iters_left = max(opt.max_iterations - info1.niterations, 1)
+    opt2 = dataclasses.replace(opt, max_iterations=iters_left)
+    x2, info2 = solve(op64, b, x0=x1.astype(np.float64), opt=opt2,
+                      method="pipelined-df64")
+    info = SolveInfo(
+        niterations=info1.niterations + info2.niterations,
+        converged=info2.converged,
+        bnrm2=info2.bnrm2,
+        r0nrm2=info1.r0nrm2,       # residual at the ORIGINAL x0
+        rnrm2=info2.rnrm2,
+        x0nrm2=info1.x0nrm2,
+        dxnrm2=info2.dxnrm2,
+    )
+    return x2, info

@@ -1,0 +1,98 @@
+"""Precision auto-escalation (solvers/auto.py): f32 fast path with a
+df64 restart when the tolerance demands it — the reference's f64
+convergence semantics (acg-cuda.c:489-530 defaults) at fast-path cost."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from acg_tpu.core.dia import DiaOperator
+from acg_tpu.io.generators import dia_to_coo, poisson2d_dia
+from acg_tpu.solvers.auto import F32_RTOL_FLOOR, solve_auto
+from acg_tpu.solvers.cg import CGOptions, solve
+
+
+@pytest.fixture
+def system(rng):
+    offsets, vals = poisson2d_dia(16)
+    ri, ci, a, N = dia_to_coo(offsets, vals)
+    A = sp.coo_matrix((a, (ri, ci)), shape=(N, N)).tocsr()
+    op64 = DiaOperator.from_arrays(offsets, vals, dtype=np.float64,
+                                   pad_to=128)
+    xstar = rng.standard_normal(N)
+    xstar /= np.linalg.norm(xstar)
+    return A, op64, xstar, A @ xstar
+
+
+def test_loose_tolerance_stays_f32(system):
+    """rtol above the floor: single f32 stage, no df64 cost."""
+    A, op64, xstar, b = system
+    opt = CGOptions(max_iterations=500, residual_rtol=1e-3)
+    x, info = solve_auto(op64, b, opt=opt)
+    assert info.converged
+    assert x.dtype == np.float64
+    # f32-stage accuracy only
+    assert np.linalg.norm(x - xstar) < 1e-2
+
+
+def test_tight_tolerance_escalates_to_df64(system):
+    """rtol below the f32 floor: the df64 restart must reach it, with a
+    total iteration count comparable to a pure f64 solve."""
+    A, op64, xstar, b = system
+    # rtol 1e-8: far below the f32 floor, above the CPU-jit df64 floor
+    # (XLA:CPU's excess-precision simplifier weakens the EFTs — CLAUDE.md;
+    # on TPU the df64 path reaches f64-identical convergence)
+    opt = CGOptions(max_iterations=1000, residual_rtol=1e-8)
+    x, info = solve_auto(op64, b, opt=opt)
+    assert info.converged
+    rnrm = np.linalg.norm(b - A @ x)
+    # the solver guarantees its internal recurrence residual; the
+    # true residual may lag by a small drift factor (pipelined recurrences
+    # + the CPU-jit EFT weakening)
+    assert rnrm < 1e-8 * np.linalg.norm(b) * 2
+    assert np.linalg.norm(x - xstar) < 1e-5
+    _, i64 = solve(op64, b, opt=opt, method="pipelined")
+    # warm restart wastes a few iterations rebuilding the Krylov space
+    assert info.niterations <= i64.niterations + 25
+
+
+def test_atol_criterion_escalates(system):
+    A, op64, xstar, b = system
+    bnrm = np.linalg.norm(b)
+    opt = CGOptions(max_iterations=1000, residual_rtol=0.0,
+                    residual_atol=1e-8 * bnrm)
+    x, info = solve_auto(op64, b, opt=opt)
+    assert info.converged
+    assert np.linalg.norm(b - A @ x) < 1e-8 * bnrm * 2
+
+
+def test_rejects_diff_criteria(system):
+    _, op64, _, b = system
+    with pytest.raises(ValueError, match="residual-based"):
+        solve_auto(op64, b, opt=CGOptions(max_iterations=5, diff_atol=1e-3))
+
+
+def test_floor_boundary_no_escalation(system):
+    """rtol exactly at the floor: f32 stage handles it alone."""
+    A, op64, xstar, b = system
+    opt = CGOptions(max_iterations=1000, residual_rtol=F32_RTOL_FLOOR)
+    x, info = solve_auto(op64, b, opt=opt)
+    assert info.converged
+    assert np.linalg.norm(b - A @ x) <= F32_RTOL_FLOOR * np.linalg.norm(b) * 1.1
+
+
+def test_cli_acg_auto(tmp_path, capsys):
+    from acg_tpu.cli import main as cli_main
+    from acg_tpu.io import write_mtx
+    from acg_tpu.io.generators import poisson2d_mtx
+
+    p = tmp_path / "A.mtx"
+    write_mtx(p, poisson2d_mtx(12))
+    rc = cli_main.main([str(p), "--manufactured-solution",
+                        "--solver", "acg-auto", "--max-iterations", "500",
+                        "--residual-rtol", "1e-8", "--warmup", "0"])
+    assert rc == 0
+    err = capsys.readouterr().err
+    val = float(err.split(
+        "manufactured solution error 2-norm: ")[1].splitlines()[0])
+    assert val < 1e-7
