@@ -46,6 +46,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -130,6 +131,60 @@ def bucket_groups(G_of_tile: np.ndarray, sort_order: np.ndarray,
     rounded to 8 — the kernel unrolls 8 groups per loop iteration)."""
     return [int(_round_up(max(int(G_of_tile[sort_order[s:e]].max()), 1), 8))
             for s, e in buckets]
+
+
+def optimal_buckets(G_of_tile: np.ndarray, sort_order: np.ndarray,
+                    max_buckets: int = 24) -> list[tuple[int, int]]:
+    """Value-aware bucket boundaries minimizing stored slots.
+
+    Equal-count buckets (default_buckets) pad every tile in a bucket to
+    the bucket MAX group count; on skewed G distributions that wastes
+    ~40% of the slots (measured on the 600k-row mesh solid: group-level
+    fill 0.201 vs 0.121 achieved).  This DP picks ≤ ``max_buckets``
+    boundaries over the ascending-sorted tiles minimizing
+    Σ_b count_b · G_b exactly: G_b only matters rounded to 8, so the
+    candidate boundaries compress to the distinct round-8 value ends —
+    a tiny DP regardless of ntiles.  Boundaries are rounded down to
+    BLOCK_TILES multiples (displaced tiles land in the next — larger-G —
+    bucket, which is always valid).  Single-chip only: the distributed
+    operator keeps default_buckets, a pure function of ntiles, so
+    per-part shapes stay SPMD-uniform.
+    """
+    T = len(sort_order)
+    g8 = np.maximum(G_of_tile[sort_order].astype(np.int64), 1)
+    g8 = ((g8 + 7) >> 3) << 3
+    # candidate (exclusive) ends: last index of each distinct value,
+    # rounded down to BLOCK_TILES, plus T itself
+    change = np.nonzero(np.diff(g8))[0] + 1          # value-start indices
+    ends = (change // BLOCK_TILES) * BLOCK_TILES
+    cand = np.unique(np.concatenate([ends[ends > 0], [T]]))
+    if len(cand) > 256:   # degenerate near-all-distinct case: subsample
+        keep = np.linspace(0, len(cand) - 1, 256).astype(int)
+        cand = np.unique(np.concatenate([cand[keep], [T]]))
+    C = len(cand)
+    gmax = g8[cand - 1].astype(np.float64)           # G_b if bucket ends here
+    k = min(max_buckets, C)
+    # dp[kk][j]: min slots covering tiles [0, cand[j]) with kk+1 buckets
+    dp = np.full((k, C), np.inf)
+    par = np.full((k, C), -1, dtype=np.int64)
+    dp[0] = cand.astype(np.float64) * gmax
+    for kk in range(1, k):
+        for j in range(1, C):
+            c = dp[kk - 1, :j] + (cand[j] - cand[:j]) * gmax[j]
+            i = int(np.argmin(c))
+            if c[i] < dp[kk, j]:
+                dp[kk, j] = c[i]
+                par[kk, j] = i
+    kk = int(np.argmin(dp[:, C - 1]))
+    bounds = [T]
+    j = C - 1
+    while kk > 0:
+        j = int(par[kk, j])
+        bounds.append(int(cand[j]))
+        kk -= 1
+    bounds.append(0)
+    bounds = sorted(set(bounds))
+    return [(bounds[i], bounds[i + 1]) for i in range(len(bounds) - 1)]
 
 
 def sell_scan_phase(A, ntiles: int, ncols: int, use_native: bool) -> dict:
@@ -386,7 +441,9 @@ class SellOperator:
                       and N > 0 and nnz > 0)
         scan = sell_scan_phase(A, ntiles, ncols, use_native)
         sort_order = np.argsort(scan["G_of_tile"], kind="stable")
-        buckets = default_buckets(ntiles)
+        nb = int(os.environ.get("ACG_SELL_BUCKETS", "24"))
+        buckets = optimal_buckets(scan["G_of_tile"], sort_order, nb) \
+            if nb > 0 else default_buckets(ntiles)
         G_b = bucket_groups(scan["G_of_tile"], sort_order, buckets)
 
         isz = np.dtype(dtype).itemsize

@@ -105,6 +105,37 @@ def test_native_layout_matches_numpy_fallback(rng, monkeypatch):
                                atol=1e-5 * np.linalg.norm(yb))
 
 
+def test_optimal_buckets_partition_and_optimality():
+    """The DP bucketer returns a valid partition of the sorted tiles
+    (contiguous, BLOCK_TILES-aligned interior boundaries) and never
+    stores more slots than the equal-count default bucketing, across
+    skewed/uniform/degenerate G distributions."""
+    from acg_tpu.core.sell import (BLOCK_TILES, bucket_groups,
+                                   default_buckets, optimal_buckets)
+    rng = np.random.default_rng(3)
+    cases = [
+        np.ones(64, dtype=np.int64),                      # uniform
+        np.arange(1, 65, dtype=np.int64),                 # linear ramp
+        np.concatenate([np.ones(60), [200, 220, 240, 260]]).astype(np.int64),
+        rng.integers(1, 400, size=256).astype(np.int64),  # random skew
+        np.array([7], dtype=np.int64),                    # single tile
+    ]
+    for G in cases:
+        ntiles = len(G)
+        so = np.argsort(G, kind="stable")
+        bk = optimal_buckets(G, so, 24)
+        # exact partition of [0, ntiles)
+        assert bk[0][0] == 0 and bk[-1][1] == ntiles
+        for (s0, e0), (s1, _) in zip(bk, bk[1:]):
+            assert e0 == s1 and s0 < e0
+        for s, _ in bk[1:]:
+            assert s % BLOCK_TILES == 0
+        def slots(b):
+            return sum((e - s) * g
+                       for (s, e), g in zip(b, bucket_groups(G, so, b)))
+        assert slots(bk) <= slots(default_buckets(ntiles))
+
+
 def test_bucketing_reduces_stored_slots(rng):
     """G-bucketing never stores more slots than global-max padding and
     strictly fewer when per-tile group counts differ."""
