@@ -409,9 +409,14 @@ def main(argv=None) -> int:
             op = _make_op()
             # measured per-op times: join the profiler trace against the
             # executed program's optimized HLO (the CUDA-event profiling
-            # analogue, cgcuda.c:1057-1095) — single-device acg solvers
+            # analogue, cgcuda.c:1057-1095).  Works at nparts>1 too: the
+            # distributed solvers AOT-compile their shard_map programs
+            # and publish the same last-compiled slot; event durations
+            # sum over the devices' concurrent lanes, so dividing by
+            # nparts reports the per-device mean — the distributed per-op
+            # table of cgcuda.c:1927-2120 (there: per-rank CUDA events)
             measured = None
-            if args.trace and nparts == 1 and args.solver.startswith("acg") \
+            if args.trace and args.solver.startswith("acg") \
                     and not args.solver.startswith("acg-host"):
                 try:
                     from ..solvers.cg import last_compiled_text
@@ -419,6 +424,9 @@ def main(argv=None) -> int:
                     text = last_compiled_text()
                     if text:
                         measured = measured_op_times(args.trace, text)
+                        if measured and nparts > 1:
+                            measured = {k: (t / nparts, c)
+                                        for k, (t, c) in measured.items()}
                 except Exception as e:
                     log(args, f"(trace parse failed: {e})")
             report = format_report(op, info, opt, args.solver, tsolve,

@@ -64,10 +64,23 @@ def _loop_fns(method: str, history: bool):
 
 
 # Compiled-program cache: repeated solves with the same static
-# configuration (mesh, plan, options, method) reuse the jitted shard_map
+# configuration (mesh, plan, options, method) reuse the compiled shard_map
 # program instead of re-tracing — the init/solve split of the reference
 # (acgsolvercuda_init once, then many solves, cgcuda.c:143-332/403).
+# Programs are AOT-lowered (jit(...).lower(args).compile()) so the
+# optimized HLO text of the exact executed program is retrievable: the
+# CLI --trace report joins profiler events against it at nparts>1 too —
+# the distributed per-op breakdown of cgcuda.c:1927-2120.
 _RUN_CACHE: dict = {}
+
+
+def _compile_and_record(jitted, *example_args):
+    """AOT-compile and publish as the most recent solve program (shared
+    slot with the single-device path so cli --trace has ONE lookup)."""
+    from .cg import _LAST_COMPILED
+    compiled = jitted.lower(*example_args).compile()
+    _LAST_COMPILED[0] = compiled
+    return compiled
 
 
 def _mesh_key(mesh):
@@ -157,10 +170,15 @@ def solve_dist_stencil(offsets, vals: np.ndarray, b: np.ndarray,
                            dxnrm2sqr=P())
         out_specs = (P(AXIS), scalar_spec) if not history else \
             (P(AXIS), scalar_spec, P())
-        run = jax.jit(shard_map(local, mesh=mesh,
-                                in_specs=(P(None, AXIS), P(AXIS), P(AXIS)),
-                                out_specs=out_specs, check_vma=False))
+        run = _compile_and_record(
+            jax.jit(shard_map(local, mesh=mesh,
+                              in_specs=(P(None, AXIS), P(AXIS), P(AXIS)),
+                              out_specs=out_specs, check_vma=False)),
+            vals_sh, b_sh, x0_sh)
         _RUN_CACHE[key] = run
+    else:
+        from .cg import _LAST_COMPILED
+        _LAST_COMPILED[0] = run
     out = run(vals_sh, b_sh, x0_sh)
     if history:
         x, scalars, hist = out
@@ -323,9 +341,14 @@ def solve_dist_general(pm: PartitionedMatrix, b: np.ndarray,
         in_specs = tuple([P(AXIS)] * (nop + 2 + len(hargs)))
         out_specs = (P(AXIS), scalar_spec) if not history else \
             (P(AXIS), scalar_spec, P())
-        run = jax.jit(shard_map(local, mesh=mesh, in_specs=in_specs,
-                                out_specs=out_specs, check_vma=False))
+        run = _compile_and_record(
+            jax.jit(shard_map(local, mesh=mesh, in_specs=in_specs,
+                              out_specs=out_specs, check_vma=False)),
+            *op_args, b_l, x0_l, *hargs)
         _RUN_CACHE[key] = run
+    else:
+        from .cg import _LAST_COMPILED
+        _LAST_COMPILED[0] = run
     out = run(*op_args, b_l, x0_l, *hargs)
     if history:
         xl, scalars, hist = out

@@ -14,6 +14,7 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <chrono>
 #include <cmath>
 #include <algorithm>
 #include <queue>
@@ -304,38 +305,88 @@ struct MLGraph {
     int64_t n = 0;
 };
 
-// Heavy-edge matching: visit vertices in random order, match each
-// unmatched vertex with its unmatched neighbour of maximum edge weight.
+// Heavy-edge matching via deterministic handshake rounds.
+//
+// The classic METIS visit-in-random-order greedy matching is inherently
+// serial AND cache-hostile at scale: the shuffled visit order turns every
+// rowptr/colidx/match access into a random miss (measured as the
+// dominant cost of the 53 s partition at 449M edges).  Handshaking fixes
+// both: each round, every unmatched vertex PROPOSES to its heaviest
+// unmatched neighbour (ties broken by a hashed id so regular unit-weight
+// graphs don't collapse into one-directional chains), and mutual
+// proposals match.  Proposals read only the previous round's match
+// state, and each mutual pair's writes are disjoint, so the rounds are
+// embarrassingly parallel AND the result is identical for any thread
+// count (deterministic given the seed — required here because the build
+// host has one core: the parallel path cannot be race-tested locally,
+// so it must be equivalent by construction).  Vertices are visited in
+// sequential order: on banded/mesh graphs every access streams.
+// A final serial cleanup pass greedily matches the leftovers (~10-20%).
 // cmap maps fine -> coarse ids (in first-occurrence order).
+
+static inline uint64_t mix64(uint64_t x) {
+    x ^= x >> 33; x *= 0xFF51AFD7ED558CCDULL;
+    x ^= x >> 33; x *= 0xC4CEB9FE1A85EC53ULL;
+    x ^= x >> 33; return x;
+}
+
 static int64_t hem_match(const int64_t* rowptr, const int32_t* colidx,
                          const int32_t* ewgt, int64_t n,
-                         std::mt19937_64& rng, std::vector<int64_t>& cmap) {
-    std::vector<int64_t> order(n);
-    for (int64_t i = 0; i < n; i++) order[i] = i;
-    std::shuffle(order.begin(), order.end(), rng);
-    std::vector<int64_t> match(n, -1);
-    for (int64_t oi = 0; oi < n; oi++) {
-        int64_t u = order[oi];
+                         uint64_t seed, std::vector<int64_t>& cmap) {
+    std::vector<int32_t> match(n, -1), prop(n, -1);
+    const int ROUNDS = 4;
+    for (int round = 0; round < ROUNDS; round++) {
+        int64_t matched = 0;
+#pragma omp parallel for schedule(static)
+        for (int64_t u = 0; u < n; u++) {
+            if (match[u] >= 0) { prop[u] = -1; continue; }
+            int32_t best = -1;
+            int64_t bestw = -1;
+            uint64_t besth = ~0ULL;
+            for (int64_t e = rowptr[u]; e < rowptr[u + 1]; e++) {
+                int32_t v = colidx[e];
+                if ((int64_t)v == u || match[v] >= 0) continue;
+                int64_t w = ewgt ? ewgt[e] : 1;
+                if (w < bestw) continue;
+                uint64_t h = mix64((uint64_t)v + seed);
+                if (w > bestw || h < besth) {
+                    bestw = w; besth = h; best = v;
+                }
+            }
+            prop[u] = best;
+        }
+#pragma omp parallel for schedule(static) reduction(+:matched)
+        for (int64_t u = 0; u < n; u++) {
+            int32_t v = prop[u];
+            if (v >= 0 && (int64_t)v > u && prop[v] == (int32_t)u) {
+                match[u] = v;
+                match[v] = (int32_t)u;
+                matched += 2;
+            }
+        }
+        if (!matched) break;
+    }
+    // serial cleanup: sequential-order greedy over the leftovers
+    for (int64_t u = 0; u < n; u++) {
         if (match[u] >= 0) continue;
-        int64_t best = -1;
+        int32_t best = -1;
         int64_t bestw = -1;
         for (int64_t e = rowptr[u]; e < rowptr[u + 1]; e++) {
-            int64_t v = colidx[e];
-            if (v == u || match[v] >= 0) continue;
+            int32_t v = colidx[e];
+            if ((int64_t)v == u || match[v] >= 0) continue;
             if (!ewgt) { best = v; break; }   // unit weights: first
                                               // unmatched IS maximal
-            int64_t w = ewgt[e];
-            if (w > bestw) { bestw = w; best = v; }
+            if (ewgt[e] > bestw) { bestw = ewgt[e]; best = v; }
         }
-        if (best >= 0) { match[u] = best; match[best] = u; }
-        else match[u] = u;
+        if (best >= 0) { match[u] = best; match[best] = (int32_t)u; }
+        else match[u] = (int32_t)u;
     }
     cmap.assign(n, -1);
     int64_t nc = 0;
     for (int64_t u = 0; u < n; u++) {
         if (cmap[u] >= 0) continue;
         cmap[u] = nc;
-        if (match[u] != u) cmap[match[u]] = nc;
+        if (match[u] != (int32_t)u) cmap[match[u]] = nc;
         nc++;
     }
     return nc;
@@ -361,40 +412,99 @@ static MLGraph contract(const int64_t* rowptr, const int32_t* colidx,
     for (int64_t u = 0; u < n; u++)
         cg.vwgt[cmap[u]] += vwgt ? vwgt[u] : 1;
 
-    std::vector<int64_t> mark(nc, -1);
-    std::vector<int64_t> pos(nc, 0);
-    // single pass: emit deduped coarse adjacency into arrays
-    // over-allocated to the fine nnz, then shrink.  (The earlier
-    // count-then-fill two-pass variant scans the fine edges twice; at
-    // the 449M-edge finest level that is the partitioner's hot spot.)
+    int nthreads = 1;
+#ifdef _OPENMP
+    nthreads = omp_get_max_threads();
+#endif
     cg.rowptr.assign(nc + 1, 0);
-    cg.colidx.resize(rowptr[n]);
-    cg.ewgt.resize(rowptr[n]);
-    int64_t out = 0;
-    for (int64_t cu = 0; cu < nc; cu++) {
-        for (int64_t ci = cstart[cu]; ci < cstart[cu + 1]; ci++) {
-            int64_t u = child[ci];
-            for (int64_t e = rowptr[u]; e < rowptr[u + 1]; e++) {
-                int64_t cv = cmap[colidx[e]];
-                if (cv == cu) continue;
-                int32_t w = ewgt ? ewgt[e] : 1;
-                if (mark[cv] != cu) {
-                    mark[cv] = cu;
-                    pos[cv] = out;
-                    cg.colidx[out] = (int32_t)cv;
-                    cg.ewgt[out] = w;
-                    out++;
-                } else {
-                    cg.ewgt[pos[cv]] += w;
+    if (nthreads == 1) {
+        // single pass: emit deduped coarse adjacency into arrays
+        // over-allocated to the fine nnz, then shrink.  (Count-then-fill
+        // scans the fine edges twice; serially the single pass wins at
+        // the 449M-edge finest level.)
+        std::vector<int64_t> mark(nc, -1);
+        std::vector<int64_t> pos(nc, 0);
+        cg.colidx.resize(rowptr[n]);
+        cg.ewgt.resize(rowptr[n]);
+        int64_t out = 0;
+        for (int64_t cu = 0; cu < nc; cu++) {
+            for (int64_t ci = cstart[cu]; ci < cstart[cu + 1]; ci++) {
+                int64_t u = child[ci];
+                for (int64_t e = rowptr[u]; e < rowptr[u + 1]; e++) {
+                    int64_t cv = cmap[colidx[e]];
+                    if (cv == cu) continue;
+                    int32_t w = ewgt ? ewgt[e] : 1;
+                    if (mark[cv] != cu) {
+                        mark[cv] = cu;
+                        pos[cv] = out;
+                        cg.colidx[out] = (int32_t)cv;
+                        cg.ewgt[out] = w;
+                        out++;
+                    } else {
+                        cg.ewgt[pos[cv]] += w;
+                    }
+                }
+            }
+            cg.rowptr[cu + 1] = out;
+        }
+        cg.colidx.resize(out);
+        cg.colidx.shrink_to_fit();
+        cg.ewgt.resize(out);
+        cg.ewgt.shrink_to_fit();
+        return cg;
+    }
+    // parallel count-then-fill over coarse rows with thread-private
+    // stamp arrays.  The per-row first-occurrence dedupe order is the
+    // same as the single-pass variant, so the output is bit-identical
+    // for any thread count (the schedule only changes WHO computes a
+    // row, never its contents or offset).
+#pragma omp parallel
+    {
+        std::vector<int32_t> mark(nc, -1);
+#pragma omp for schedule(dynamic, 256)
+        for (int64_t cu = 0; cu < nc; cu++) {
+            int64_t cnt = 0;
+            for (int64_t ci = cstart[cu]; ci < cstart[cu + 1]; ci++) {
+                int64_t u = child[ci];
+                for (int64_t e = rowptr[u]; e < rowptr[u + 1]; e++) {
+                    int64_t cv = cmap[colidx[e]];
+                    if (cv == cu || mark[cv] == (int32_t)cu) continue;
+                    mark[cv] = (int32_t)cu;
+                    cnt++;
+                }
+            }
+            cg.rowptr[cu + 1] = cnt;
+        }
+    }
+    for (int64_t cu = 0; cu < nc; cu++) cg.rowptr[cu + 1] += cg.rowptr[cu];
+    cg.colidx.resize(cg.rowptr[nc]);
+    cg.ewgt.resize(cg.rowptr[nc]);
+#pragma omp parallel
+    {
+        std::vector<int32_t> mark(nc, -1);
+        std::vector<int64_t> pos(nc, 0);
+#pragma omp for schedule(dynamic, 256)
+        for (int64_t cu = 0; cu < nc; cu++) {
+            int64_t out = cg.rowptr[cu];
+            for (int64_t ci = cstart[cu]; ci < cstart[cu + 1]; ci++) {
+                int64_t u = child[ci];
+                for (int64_t e = rowptr[u]; e < rowptr[u + 1]; e++) {
+                    int64_t cv = cmap[colidx[e]];
+                    if (cv == cu) continue;
+                    int32_t w = ewgt ? ewgt[e] : 1;
+                    if (mark[cv] != (int32_t)cu) {
+                        mark[cv] = (int32_t)cu;
+                        pos[cv] = out;
+                        cg.colidx[out] = (int32_t)cv;
+                        cg.ewgt[out] = w;
+                        out++;
+                    } else {
+                        cg.ewgt[pos[cv]] += w;
+                    }
                 }
             }
         }
-        cg.rowptr[cu + 1] = out;
     }
-    cg.colidx.resize(out);
-    cg.colidx.shrink_to_fit();
-    cg.ewgt.resize(out);
-    cg.ewgt.shrink_to_fit();
     return cg;
 }
 
@@ -599,6 +709,7 @@ int acg_partition_graph_ml(const int64_t* rowptr, const int32_t* colidx,
         return 0;
     }
     std::mt19937_64 rng(seed ? seed : 1);
+    const bool verbose = std::getenv("ACG_PART_VERBOSE") != nullptr;
 
     // --- coarsen ----------------------------------------------------------
     std::vector<MLGraph> levels;          // levels[0] = first COARSE graph
@@ -612,9 +723,19 @@ int acg_partition_graph_ml(const int64_t* rowptr, const int32_t* colidx,
         int64_t cn = n;
         while (cn > coarse_stop && (int)levels.size() < 48) {
             std::vector<int64_t> cmap;
-            int64_t nc = hem_match(rp, ci, ew, cn, rng, cmap);
+            auto tm0 = std::chrono::steady_clock::now();
+            int64_t nc = hem_match(rp, ci, ew, cn, rng(), cmap);
+            auto tm1 = std::chrono::steady_clock::now();
             if (nc > (int64_t)(0.95 * (double)cn)) break;   // stalled
             levels.push_back(contract(rp, ci, ew, vw, cn, cmap, nc));
+            auto tm2 = std::chrono::steady_clock::now();
+            if (verbose)
+                fprintf(stderr,
+                        "  level %2zu: n %11lld -> %11lld  match %.2fs "
+                        "contract %.2fs\n", levels.size(),
+                        (long long)cn, (long long)nc,
+                        std::chrono::duration<double>(tm1 - tm0).count(),
+                        std::chrono::duration<double>(tm2 - tm1).count());
             cmaps.push_back(std::move(cmap));
             MLGraph& g = levels.back();
             rp = g.rowptr.data();
@@ -659,9 +780,14 @@ int acg_partition_graph_ml(const int64_t* rowptr, const int32_t* colidx,
         int64_t fine_n = (lev == 0) ? n : levels[lev - 1].n;
         std::vector<int64_t> fpart(fine_n);
         for (int64_t u = 0; u < fine_n; u++) fpart[u] = cpart[cmap[u]];
+        auto tr0 = std::chrono::steady_clock::now();
         if (lev == 0) {
             kway_refine(rowptr, colidx, nullptr, nullptr, n, nparts,
                         fpart.data(), 2, 0.03);
+            if (verbose)
+                fprintf(stderr, "  finest refine: %.2fs\n",
+                        std::chrono::duration<double>(
+                            std::chrono::steady_clock::now() - tr0).count());
         } else {
             MLGraph& g = levels[lev - 1];
             kway_refine(g.rowptr.data(), g.colidx.data(), g.ewgt.data(),

@@ -56,3 +56,42 @@ def test_measured_rows_and_report(traced_solve):
                            measured=measured)
     assert "MEASURED" in report
     assert "(measured)" in report
+
+
+# --- distributed trace join (the per-rank breakdown of cgcuda.c:1927-2120:
+# there per-rank CUDA events around halo pack/send/waitall; here profiler
+# events joined against the AOT-compiled shard_map program, which adds
+# measured allreduce/halo rows classified by collective opcode) -----------
+
+@pytest.fixture(scope="module")
+def traced_dist_solve(tmp_path_factory):
+    import jax
+
+    from acg_tpu.solvers.dist_cg import solve_dist_stencil
+    tdir = str(tmp_path_factory.mktemp("trace_dist"))
+    offsets, vals = poisson2d_dia(32)
+    b = np.random.default_rng(1).standard_normal(vals.shape[1])
+    opt = CGOptions(max_iterations=40, residual_rtol=0.0)
+    kw = dict(nparts=8, opt=opt, method="pipelined")
+    solve_dist_stencil(offsets, vals, b, **kw)     # compile outside
+    with jax.profiler.trace(tdir):
+        x, info = solve_dist_stencil(offsets, vals, b, **kw)
+    return tdir, info
+
+
+def test_distributed_program_published(traced_dist_solve):
+    # the dist solvers AOT-compile and publish the same last-compiled
+    # slot as the single-device path, so --trace has one lookup
+    text = last_compiled_text()
+    assert text is not None
+    assert "all-reduce" in text                    # it IS the shard_map prog
+    rows = set(hlo_scope_map(text).values())
+    assert "allreduce" in rows
+    assert "gemv" in rows                          # shared iteration body
+
+
+def test_distributed_measured_rows(traced_dist_solve):
+    tdir, info = traced_dist_solve
+    measured = measured_op_times(tdir, last_compiled_text())
+    assert "allreduce" in measured and measured["allreduce"][0] > 0
+    assert "gemv" in measured and measured["gemv"][0] > 0
