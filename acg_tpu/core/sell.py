@@ -361,14 +361,18 @@ class SellOperator:
     N: int                     # logical rows
     ncols: int                 # logical columns (= N when square)
     nnz_true: int
+    vals_lo: tuple | None = None   # f64→f32 rounding-residual slabs
+                                   # (same shapes as vals; None ⇒ the
+                                   # matrix is exactly f32-representable)
 
     def tree_flatten(self):
-        return (self.vals, self.lidx, self.cidx, self.tile_order), \
-            (self.N, self.ncols, self.nnz_true)
+        return (self.vals, self.lidx, self.cidx, self.tile_order,
+                self.vals_lo), (self.N, self.ncols, self.nnz_true)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, *aux)
+        vals, lidx, cidx, tile_order, vals_lo = children
+        return cls(vals, lidx, cidx, tile_order, *aux, vals_lo)
 
     @property
     def dtype(self):
@@ -404,7 +408,8 @@ class SellOperator:
 
     @classmethod
     def from_csr(cls, A, dtype=np.float32,
-                 max_stored_bytes: int = 13 * 1024**3) -> "SellOperator":
+                 max_stored_bytes: int = 13 * 1024**3,
+                 keep_lo: bool = False) -> "SellOperator":
         """Build the per-tile chunked-gather layout from a scipy CSR
         matrix (square or rectangular — the column space is independent
         of the row tiles, so the interface/ghost blocks of a partitioned
@@ -471,12 +476,27 @@ class SellOperator:
         vals_t, lidx_t, cidx_t = sell_fill_phase(
             A, scan, sort_order, buckets, G_b, dtype,
             to_device=use_native)
+        vals_lo = None
+        if keep_lo:
+            # f64→f32 rounding residuals in slabs sharing the hi layout
+            # (structure-only scan ⇒ identical slab coordinates); skipped
+            # when the matrix is exactly f32-representable
+            lo = np.asarray(A.data, np.float64) \
+                - A.data.astype(np.float32).astype(np.float64)
+            if np.any(lo):
+                import scipy.sparse as sp
+                A_lo = sp.csr_matrix((lo, A.indices, A.indptr),
+                                     shape=A.shape)
+                lo_t, _, _ = sell_fill_phase(
+                    A_lo, scan, sort_order, buckets, G_b, np.float32,
+                    to_device=use_native)
+                vals_lo = tuple(jnp.asarray(v) for v in lo_t)
         return cls(vals=tuple(jnp.asarray(v) for v in vals_t),
                    lidx=tuple(jnp.asarray(l) for l in lidx_t),
                    cidx=tuple(jnp.asarray(cidx_flat_pad(c))
                               for c in cidx_t),
                    tile_order=jnp.asarray(sort_order.astype(np.int32)),
-                   N=N, ncols=ncols, nnz_true=nnz)
+                   N=N, ncols=ncols, nnz_true=nnz, vals_lo=vals_lo)
 
     # -- SpMV -----------------------------------------------------------------
 
@@ -493,6 +513,38 @@ class SellOperator:
         y = jnp.zeros_like(y_sorted).at[self.tile_order].set(
             y_sorted, unique_indices=True)
         return y.reshape(-1)
+
+    def spmv_df64(self, xh: jnp.ndarray, xl: jnp.ndarray):
+        """(yh, yl) ≈ A @ (xh + xl) to df64 accuracy — the f64-parity
+        SpMV for the general-partition fast path (ops/pallas_sell.py
+        sell_spmv_df64).  Uses the low-residual slabs when present
+        (build with from_csr(keep_lo=True) for matrices that are not
+        exactly f32-representable)."""
+        from ..ops.pallas_sell import sell_spmv_df64
+        Nx = _round_up(max(self.ncols, 1), 1024)
+        # df64 working set doubles the resident x (two VMEM buffers) and,
+        # with low slabs, the double-buffered vals blocks
+        nslab = 2 if self.vals_lo is not None else 1
+        vmem = (2 * self.G * BLOCK_TILES * 1024 * (4 * nslab + 1)
+                + 2 * Nx * 4)
+        if vmem > 14 * 1024 * 1024:
+            raise MemoryError(
+                f"df64 SELL kernel working set {vmem / 1e6:.1f} MB exceeds "
+                f"VMEM (G={self.G}, ncols={self.ncols:,}); partition the "
+                "matrix across devices for the df64 fast path")
+        los = self.vals_lo if self.vals_lo is not None \
+            else (None,) * len(self.vals)
+        ys = [sell_spmv_df64(v, lo, l, c, xh, xl, Nx)
+              for v, lo, l, c in zip(self.vals, los, self.lidx, self.cidx)]
+        out = []
+        for comp in range(2):
+            y_sorted = jnp.concatenate(
+                [y[comp].reshape(-1, 128) for y in ys], axis=0) \
+                if len(ys) > 1 else ys[0][comp].reshape(-1, 128)
+            y = jnp.zeros_like(y_sorted).at[self.tile_order].set(
+                y_sorted, unique_indices=True)
+            out.append(y.reshape(-1))
+        return tuple(out)
 
     def flops_per_spmv(self) -> int:
         return 2 * self.nnz_true

@@ -33,6 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core.sell import BLOCK_TILES
+from . import df64
 
 
 def _take_lanes(row: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -134,6 +135,219 @@ def _sell_kernel(G, T, Sc, x_hbm, cidx_hbm, vals_ref, lidx_ref, y_ref,
     def _():
         ccopy(i, cbuf1, 1).wait()
         compute(cbuf1)
+
+
+def _sell_kernel_df64(G, T, Sc, has_lo,
+                      xh_hbm, xl_hbm, cidx_hbm, vals_refs, lidx_ref,
+                      yh_ref, yl_ref, xvh, xvl, cbuf0, cbuf1, sem, csem):
+    """df64 (double-f32) variant of _sell_kernel: x is an explicit
+    (hi, lo) f32 pair and every product/accumulation is an error-free
+    transformation (ops/df64.py), giving a ~2^-48-relative q = A·w for
+    the general-partition f64-parity solver (the capability the
+    reference gets for free from native f64 ALUs in its merge kernel,
+    cg-kernels-cuda.cu:358-441).  Matrix values are the f32 ``vals``
+    slab plus an optional ``vals_lo`` low-part slab (None ⇒ the matrix
+    is exactly f32-representable and A·wl needs no low correction of
+    its own).  Structure (chunk-table double buffering, packed lidx,
+    8 independent accumulators) matches the f32 kernel; accumulators
+    become (hi, lo) pairs folded with two_sum."""
+    i = pl.program_id(0).astype(jnp.int32)
+    nblocks = pl.num_programs(0)
+    one, two = jnp.int32(1), jnp.int32(2)
+    slot = jax.lax.rem(i, two)
+    nxt = jax.lax.rem(i + one, two)
+    TSc = jnp.int32(T * Sc)
+    if has_lo:
+        vals_ref, vlo_ref = vals_refs
+    else:
+        (vals_ref,), vlo_ref = vals_refs, None
+
+    def ccopy(blk, buf, s):
+        return pltpu.make_async_copy(
+            cidx_hbm.at[pl.ds(blk * TSc, T * Sc)], buf,
+            csem.at[jnp.int32(s)])
+
+    @pl.when(i == 0)
+    def _():
+        cph = pltpu.make_async_copy(xh_hbm, xvh, sem.at[jnp.int32(0)])
+        cpl = pltpu.make_async_copy(xl_hbm, xvl, sem.at[jnp.int32(1)])
+        cph.start()
+        cpl.start()
+        ccopy(i, cbuf0, 0).start()
+        cph.wait()
+        cpl.wait()
+
+    @pl.when((i + one < nblocks) & (nxt == 0))
+    def _():
+        ccopy(i + one, cbuf0, 0).start()
+
+    @pl.when((i + one < nblocks) & (nxt == 1))
+    def _():
+        ccopy(i + one, cbuf1, 1).start()
+
+    def compute(cidx_ref):
+        for t in range(T):
+            tbase = jnp.int32(t * Sc)
+
+            def one_group(g8, lidx8):
+                c = cidx_ref[tbase + g8]
+                rowh = jnp.broadcast_to(xvh[c >> 3, c & 7][None, :],
+                                        (8, 128))
+                rowl = jnp.broadcast_to(xvl[c >> 3, c & 7][None, :],
+                                        (8, 128))
+                gh = _take_lanes(rowh, lidx8)            # (8, 128)
+                gl = _take_lanes(rowl, lidx8)
+                v = vals_ref[t, g8]
+                p, e = df64.two_prod(v, gh)
+                e = e + v * gl
+                if has_lo:
+                    e = e + vlo_ref[t, g8] * gh
+                # compensated sublane fold: the 8 sub-slot products of
+                # this group collapse into one (128,) (hi, lo) pair
+                s = p[0]
+                err = jnp.sum(e, axis=0)
+                for k in range(1, 8):
+                    s, c2 = df64.two_sum(s, p[k])
+                    err = err + c2
+                return s, err
+
+            def body(q, accs):
+                g0 = q * jnp.int32(8)
+                w0 = lidx_ref[t, two * q]
+                w1 = lidx_ref[t, two * q + one]
+                lanes = [(w >> jnp.int32(8 * k)) & jnp.int32(127)
+                         for w in (w0, w1) for k in range(4)]
+                out = []
+                for k in range(8):
+                    ah, al = accs[2 * k], accs[2 * k + 1]
+                    s, err = one_group(g0 + jnp.int32(k), lanes[k])
+                    ah, c2 = df64.two_sum(ah, s)
+                    out += [ah, al + err + c2]
+                return tuple(out)
+
+            z = jnp.zeros((128,), jnp.float32)
+            with df64.no_barriers():
+                accs = jax.lax.fori_loop(
+                    jnp.int32(0), jnp.int32(G // 8), body, (z,) * 16)
+                # pairwise tree fold of the 8 accumulator pairs
+                pairs = [(accs[2 * k], accs[2 * k + 1]) for k in range(8)]
+                while len(pairs) > 1:
+                    pairs = [df64.df_add(*pairs[j], *pairs[j + 1])
+                             for j in range(0, len(pairs), 2)]
+            yh_ref[t, 0, :] = pairs[0][0]
+            yl_ref[t, 0, :] = pairs[0][1]
+
+    @pl.when(slot == 0)
+    def _():
+        ccopy(i, cbuf0, 0).wait()
+        compute(cbuf0)
+
+    @pl.when(slot == 1)
+    def _():
+        ccopy(i, cbuf1, 1).wait()
+        compute(cbuf1)
+
+
+@functools.partial(jax.jit, static_argnames=("Nx",))
+def sell_spmv_df64(vals: jnp.ndarray, vals_lo, lidx: jnp.ndarray,
+                   cidx: jnp.ndarray, xh: jnp.ndarray, xl: jnp.ndarray,
+                   Nx: int):
+    """(yh, yl) ≈ A @ (xh + xl) to df64 accuracy for one bucket.
+
+    Same layout contract as sell_spmv; ``vals_lo`` is either None (A is
+    exactly f32-representable) or a slab of the same shape holding the
+    f64-to-f32 rounding residuals (core.sell low slabs)."""
+    if vals.dtype != jnp.float32:
+        raise NotImplementedError("sell_spmv_df64 expects f32 (hi, lo) "
+                                  f"slabs, got {vals.dtype}")
+    has_lo = vals_lo is not None
+    ntiles, G = vals.shape[0], vals.shape[1]
+    assert G % 8 == 0 and lidx.shape == (ntiles, G // 4, 8, 128), \
+        (vals.shape, lidx.shape)
+    Np = ntiles * 128
+    T = BLOCK_TILES
+    assert ntiles % T == 0
+    nblocks = ntiles // T
+
+    def prep_x(x):
+        if x.shape[0] < Nx:
+            x = jnp.concatenate([x, jnp.zeros((Nx - x.shape[0],), x.dtype)])
+        elif x.shape[0] > Nx:
+            x = x[:Nx]
+        return x.reshape(Nx // 1024, 8, 128)
+
+    xh3, xl3 = prep_x(xh), prep_x(xl)
+    Sc = -(-G // (1024 // T)) * (1024 // T)
+    if cidx.ndim == 2:
+        assert cidx.shape == (ntiles, G)
+        cidx_flat = jnp.zeros((ntiles, Sc), jnp.int32).at[:, :G].set(cidx) \
+            .reshape(-1)
+    else:
+        assert cidx.shape == (ntiles * Sc,), (cidx.shape, ntiles, Sc)
+        cidx_flat = cidx
+    kernel = functools.partial(_sell_kernel_df64, G, T, Sc, has_lo)
+    z32 = np.int32(0)
+    slab_spec = pl.BlockSpec((T, G, 8, 128), lambda i: (i, z32, z32, z32),
+                             memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),                 # xh3 in HBM
+        pl.BlockSpec(memory_space=pl.ANY),                 # xl3 in HBM
+        pl.BlockSpec(memory_space=pltpu.HBM),              # cidx flat
+        slab_spec,                                          # vals hi
+    ]
+    args = [xh3, xl3, cidx_flat, vals]
+    if has_lo:
+        in_specs.append(slab_spec)                          # vals lo
+        args.append(vals_lo)
+    in_specs.append(
+        pl.BlockSpec((T, G // 4, 8, 128), lambda i: (i, z32, z32, z32),
+                     memory_space=pltpu.VMEM))              # lidx packed
+    args.append(lidx)
+
+    def krn(xh_hbm, xl_hbm, cidx_hbm, *rest):
+        if has_lo:
+            vh, vl, li = rest[0], rest[1], rest[2]
+            vrefs = (vh, vl)
+            outs = rest[3:]
+        else:
+            vh, li = rest[0], rest[1]
+            vrefs = (vh,)
+            outs = rest[2:]
+        kernel(xh_hbm, xl_hbm, cidx_hbm, vrefs, li, *outs)
+
+    out_spec = pl.BlockSpec((T, 1, 128), lambda i: (i, z32, z32),
+                            memory_space=pltpu.VMEM)
+    out_sds = jax.ShapeDtypeStruct((ntiles, 1, 128), jnp.float32)
+    try:
+        vma = jax.typeof(vals).vma
+        out_sds = jax.ShapeDtypeStruct((ntiles, 1, 128), jnp.float32,
+                                       vma=vma)
+    except (AttributeError, TypeError):
+        pass
+    nslabs = 2 if has_lo else 1
+    yh2, yl2 = pl.pallas_call(
+        krn,
+        grid=(nblocks,),
+        in_specs=in_specs,
+        out_specs=(out_spec, out_spec),
+        out_shape=(out_sds, out_sds),
+        scratch_shapes=[
+            pltpu.VMEM((Nx // 1024, 8, 128), jnp.float32),
+            pltpu.VMEM((Nx // 1024, 8, 128), jnp.float32),
+            pltpu.SMEM((T * Sc,), jnp.int32),
+            pltpu.SMEM((T * Sc,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=30 * 8 * G * Np,
+            bytes_accessed=(8 * G * Np * (4 * nslabs + 1)
+                            + 2 * Nx * 4 + 2 * Np * 4),
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(*args)
+    return yh2.reshape(Np), yl2.reshape(Np)
 
 
 @functools.partial(jax.jit, static_argnames=("Nx",))

@@ -558,6 +558,123 @@ def pipelined_cg_loop_fused_spmv(spmv: Callable, b, x0, opt: CGOptions,
     return unpad(x), scalars
 
 
+def pipelined_cg_loop_df64_spmv(spmv2: Callable, b, x0, opt: CGOptions,
+                                reduce_fn: Callable = lambda v: v):
+    """df64 pipelined CG for operators with their OWN df64 SpMV kernel
+    (SELL chunked-gather, a distributed halo+SpMV closure) — the
+    f64-parity counterpart of pipelined_cg_loop_fused_spmv: TWO fused
+    passes per iteration, ``spmv2(wh, wl) -> (qh, ql)`` followed by the
+    df64 12-vector update + dots pass (ops/pallas_update.py).  This is
+    the general-partition analogue of the reference's f64 pipelined
+    kernel on arbitrary partitions (cg-kernels-cuda.cu:1316-1711).
+
+    ``b``/``x0`` are float64 (Np,) arrays (setup norms and the scalar
+    recurrences stay f64; the iteration state is (hi, lo) f32 pairs).
+    """
+    from ..ops.pallas_update import fused_update_iter_df64, pick_block_update
+
+    if opt.needs_diff:
+        raise ValueError("diff-based stopping criteria are not supported by "
+                         "the df64 solver")
+    dd = jnp.dtype(jnp.float64)
+    f32 = jnp.float32
+    Np = b.shape[0]
+    block = pick_block_update(Np)
+    Npad = -(-Np // block) * block
+
+    if Npad == Np:
+        pad = lambda v: v
+        unpad = lambda v: v
+    else:
+        zpad = jnp.zeros((Npad - Np,), f32)
+        pad = lambda v: jnp.concatenate([v, zpad])
+        unpad = lambda v: v[:Np]
+
+    def split(v):
+        hi = v.astype(f32)
+        return hi, (v - hi.astype(dd)).astype(f32)
+
+    def join(h, l):
+        return h.astype(dd) + l.astype(dd)
+
+    def split_scalar_pair(alpha, beta):
+        ah = alpha.astype(f32)
+        al = (alpha - ah.astype(dd)).astype(f32)
+        bh = beta.astype(f32)
+        bl = (beta - bh.astype(dd)).astype(f32)
+        return jnp.stack([ah, al, bh, bl]).reshape(1, 4)
+
+    # setup: norms in f64, r/w through the df64 SpMV itself (the operator
+    # has no exact-f64 kernel; one spmv2 call is df64-accurate, which is
+    # the loop's own working precision)
+    bnrm2sqr = reduce_fn(nrm2sqr(b, dd))
+    x0nrm2sqr = reduce_fn(nrm2sqr(x0, dd))
+    x0h, x0l = split(x0)
+    q0h, q0l = spmv2(x0h, x0l)
+    r = b - join(q0h, q0l)
+    rh, rl = split(r)
+    w1h, w1l = spmv2(rh, rl)
+    w = join(w1h, w1l)
+    gd0 = reduce_fn(dot2(r, r, w, r, dd))
+    gamma0, delta0 = gd0[0], gd0[1]
+    zeros = jnp.zeros((Npad,), f32)
+    wh, wl = split(w)
+
+    def cond(state):
+        return (state[-2] < opt.max_iterations) & jnp.logical_not(state[-1])
+
+    zero = jnp.array(0.0, dd)
+
+    def step(state):
+        (xh, xl, rh, rl, wh, wl, zh, zl, th, tl, ph, pl_,
+         gamma, delta, gprev, aprev, k, conv) = state
+        frozen = conv | (k >= opt.max_iterations)
+        beta = jnp.where(k == 0, zero, gamma / gprev)
+        alpha = jnp.where(frozen, zero,
+                          gamma / (delta - beta * gamma / aprev))
+        sc = split_scalar_pair(alpha, beta)
+        with jax.named_scope("acg.spmv"):
+            qh, ql = spmv2(unpad(wh), unpad(wl))
+        with jax.named_scope("acg.df64_update"):
+            (xh2, xl2, rh2, rl2, wh2, wl2, zh2, zl2, th2, tl2, ph2, pl2,
+             gd) = fused_update_iter_df64(
+                pad(qh), pad(ql), xh, xl, rh, rl, wh, wl, zh, zl,
+                th, tl, ph, pl_, sc, block)
+        gd = reduce_fn(gd)
+        gamma_new = jnp.where(frozen, gamma, gd[0])
+        delta_new = jnp.where(frozen, delta, gd[1])
+        conv = conv | _converged(gamma_new, jnp.array(jnp.inf, dd),
+                                 bnrm2sqr, x0nrm2sqr, opt)
+        gprev_new = jnp.where(frozen, gprev, gamma)
+        aprev_new = jnp.where(frozen, aprev, alpha)
+        k = k + jnp.where(frozen, 0, 1).astype(jnp.int32)
+        return (xh2, xl2, rh2, rl2, wh2, wl2, zh2, zl2, th2, tl2, ph2, pl2,
+                gamma_new, delta_new, gprev_new, aprev_new, k, conv)
+
+    if opt.check_every <= 1:
+        body = step
+    else:
+        def body(state):
+            return jax.lax.fori_loop(0, opt.check_every,
+                                     lambda i, s: step(s), state)
+
+    conv0 = _converged(gamma0, jnp.array(jnp.inf, dd), bnrm2sqr,
+                       x0nrm2sqr, opt)
+    state = (pad(x0h), pad(x0l), pad(rh), pad(rl), pad(wh), pad(wl),
+             zeros, zeros, zeros, zeros, zeros, zeros,
+             gamma0, delta0, jnp.array(1.0, dd), jnp.array(1.0, dd),
+             jnp.int32(0), conv0)
+    out = jax.lax.while_loop(cond, body, state)
+    xh, xl = out[0], out[1]
+    gamma, k, conv = out[12], out[16], out[17]
+    x = unpad(xh).astype(dd) + unpad(xl).astype(dd)
+    scalars = dict(niterations=k, converged=conv,
+                   bnrm2sqr=bnrm2sqr, r0nrm2sqr=gamma0, rnrm2sqr=gamma,
+                   x0nrm2sqr=x0nrm2sqr,
+                   dxnrm2sqr=jnp.array(jnp.inf, dd))
+    return x, scalars
+
+
 def pipelined_cg_loop_df64(op, b, x0, opt: CGOptions,
                            reduce_fn: Callable = lambda v: v,
                            spmv: Callable | None = None,
@@ -710,6 +827,15 @@ def _run_single(op, bp, x0p, opt: CGOptions, method: str, history: bool,
         if history:
             raise ValueError("pipelined-df64 has no history variant; use "
                              "method='pipelined' for residual histories")
+        if not hasattr(op, "offsets"):
+            # non-DIA operators: the operator brings its own df64 SpMV
+            # kernel (SELL chunked-gather pairs) and the update + dots
+            # fuse into a second df64 pass
+            if not hasattr(op, "spmv_df64"):
+                raise ValueError(
+                    f"{type(op).__name__} has no df64 SpMV; "
+                    "pipelined-df64 needs a DIA or SELL operator")
+            return pipelined_cg_loop_df64_spmv(op.spmv_df64, bp, x0p, opt)
         return pipelined_cg_loop_df64(op, bp, x0p, opt,
                                       vals_exact=vals_exact, accum=accum)
     if history:
@@ -769,6 +895,11 @@ def solve(op, b: np.ndarray, x0: np.ndarray | None = None,
     vdtype = getattr(op, "dtype", None)
     if vdtype is None:
         vdtype = op.vals.dtype if hasattr(op, "vals") else jnp.float64
+    if method == "pipelined-df64" and not hasattr(op, "offsets"):
+        # SELL stores f32 slabs but the df64 loop takes f64 b/x0 (setup
+        # norms and scalar recurrences stay f64; iteration state is
+        # (hi, lo) pairs split inside the loop)
+        vdtype = jnp.float64
     bp = jnp.zeros((Np,), vdtype).at[:N].set(jnp.asarray(b, vdtype))
     if x0 is None:
         x0p = jnp.zeros((Np,), vdtype)
@@ -791,13 +922,17 @@ def solve(op, b: np.ndarray, x0: np.ndarray | None = None,
         # exactly f32-representable?) — cached on the operator at
         # construction; the fallback fetch happens at most once per
         # operator instance (a per-solve fetch costs seconds over the
-        # device tunnel)
-        vals_exact = getattr(op, "_vals_exact", None)
-        if vals_exact is None:
-            v = np.asarray(op.vals)
-            vals_exact = bool(
-                np.all(v == v.astype(np.float32).astype(v.dtype)))
-            op._vals_exact = vals_exact
+        # device tunnel).  SELL-style operators record it structurally:
+        # the low-residual slabs are None iff the matrix is f32-exact.
+        if not hasattr(op, "offsets"):
+            vals_exact = getattr(op, "vals_lo", None) is None
+        else:
+            vals_exact = getattr(op, "_vals_exact", None)
+            if vals_exact is None:
+                v = np.asarray(op.vals)
+                vals_exact = bool(
+                    np.all(v == v.astype(np.float32).astype(v.dtype)))
+                op._vals_exact = vals_exact
 
     run = _compiled_run(op, bp, x0p, opt, method, history, vals_exact, accum)
     if history:

@@ -151,3 +151,74 @@ def test_bucketing_reduces_stored_slots(rng):
     y = spmv_host(op, x)
     ref = A @ x
     assert np.linalg.norm(y - ref) / np.linalg.norm(ref) < 1e-5
+
+
+def df_split(v: np.ndarray):
+    hi = v.astype(np.float32)
+    return hi, (v - hi.astype(np.float64)).astype(np.float32)
+
+
+def test_sell_spmv_df64_accuracy(rng):
+    """The df64 chunked-gather SpMV (ops/pallas_sell.sell_spmv_df64) must
+    track scipy float64 to ~2^-48 — the f64-parity product the reference
+    gets from native f64 ALUs in its merge kernel
+    (cg-kernels-cuda.cu:358-441).  Unlike the fused update pass, the
+    kernel's error-free transforms survive CPU interpret mode, so the
+    full accuracy is assertable here (measured 3.6e-15)."""
+    A = random_spd(700, 6, rng) / 3.0            # inexact in f32
+    op = SellOperator.from_csr(A, keep_lo=True)
+    assert op.vals_lo is not None                # lo slabs present
+    x = rng.standard_normal(A.shape[0])
+    xp = np.zeros(op.Np)
+    xp[:op.N] = x
+    xh, xl = df_split(xp)
+    yh, yl = op.spmv_df64(jnp.asarray(xh), jnp.asarray(xl))
+    y = np.asarray(yh, np.float64)[:op.N] + np.asarray(yl, np.float64)[:op.N]
+    ref = A @ x
+    assert np.linalg.norm(y - ref) / np.linalg.norm(ref) < 1e-12
+
+
+def test_sell_spmv_df64_exact_matrix_skips_lo(rng):
+    """f32-exact entries ⇒ no low-residual slabs are built and the
+    one-slab kernel variant is still df64-accurate in x."""
+    A = random_spd(500, 5, rng)
+    A.data = A.data.astype(np.float32).astype(np.float64)  # f32-exact
+    op = SellOperator.from_csr(A, keep_lo=True)
+    assert op.vals_lo is None
+    x = rng.standard_normal(A.shape[0])
+    xp = np.zeros(op.Np)
+    xp[:op.N] = x
+    xh, xl = df_split(xp)
+    yh, yl = op.spmv_df64(jnp.asarray(xh), jnp.asarray(xl))
+    y = np.asarray(yh, np.float64)[:op.N] + np.asarray(yl, np.float64)[:op.N]
+    ref = A @ x
+    assert np.linalg.norm(y - ref) / np.linalg.norm(ref) < 1e-12
+
+
+def test_sell_df64_solver_converges(rng):
+    """pipelined-df64 on a SellOperator: two fused passes per iteration
+    (df64 SpMV + df64 update/dots).  CPU interpret validates convergence
+    only — excess precision degrades the update pass's pairs to ~f32;
+    df64 depth is validated by the SpMV test above and on hardware."""
+    A = random_spd(500, 5, rng) / 3.0
+    N = A.shape[0]
+    op = SellOperator.from_csr(A, keep_lo=True)
+    xstar = rng.standard_normal(N)
+    xstar /= np.linalg.norm(xstar)
+    b = A @ xstar
+    opt = CGOptions(max_iterations=2000, residual_rtol=1e-5, check_every=4)
+    x, info = solve(op, b, opt=opt, method="pipelined-df64")
+    assert info.converged
+    assert np.linalg.norm(x - xstar) / np.linalg.norm(xstar) < 1e-3
+
+
+def test_sell_df64_vmem_guard():
+    """spmv_df64 refuses column spaces whose doubled working set cannot
+    fit VMEM, with an actionable message (partition across devices)."""
+    import dataclasses
+    A = sp.eye(256).tocsr()
+    op = SellOperator.from_csr(A, keep_lo=True)
+    huge = dataclasses.replace(op, ncols=10_000_000)
+    xh = jnp.zeros((op.Np,), jnp.float32)
+    with pytest.raises(MemoryError, match="partition"):
+        huge.spmv_df64(xh, xh)
