@@ -52,11 +52,15 @@ class SellBlocks:
     cidx: tuple
     tile_order: np.ndarray
     ncols: int
+    vals_lo: tuple | None = None   # f64→f32 rounding residuals (df64 path)
 
     def tree(self) -> dict:
         """The pytree handed to shard_map (leading axis = part)."""
-        return dict(vals=self.vals, lidx=self.lidx, cidx=self.cidx,
-                    tile_order=self.tile_order)
+        d = dict(vals=self.vals, lidx=self.lidx, cidx=self.cidx,
+                 tile_order=self.tile_order)
+        if self.vals_lo is not None:
+            d["vals_lo"] = self.vals_lo
+        return d
 
     @property
     def stored_slots(self) -> int:
@@ -73,6 +77,8 @@ class DistSellOperator:
     P: int
     L: int
     nnz_true: int
+    df64_ready: bool = False   # built with keep_lo=True (lo slabs present,
+    #                            or proven unnecessary: matrix is f32-exact)
 
     @property
     def fill(self) -> float:
@@ -96,10 +102,12 @@ def _ell_to_csr(colidx: np.ndarray, vals: np.ndarray, nrows: int,
 
 
 def _common_layout(csrs: list[sp.csr_matrix], L: int, ncols: int,
-                   dtype=np.float32) -> SellBlocks:
+                   dtype=np.float32, keep_lo: bool = False) -> SellBlocks:
     """SELL layouts for P same-shape CSR blocks with SPMD-uniform
     shapes: shared bucket structure (a function of ntiles alone) and
-    per-bucket G_b maxed across parts."""
+    per-bucket G_b maxed across parts.  ``keep_lo`` additionally fills
+    f64→f32 rounding-residual slabs sharing the hi layout (the df64
+    matrix representation; skipped when every part is f32-exact)."""
     from .. import _native
     ntiles = _round_up(max(L, 1), BLOCK_TILES * 128) // 128
     buckets = default_buckets(ntiles)
@@ -125,26 +133,44 @@ def _common_layout(csrs: list[sp.csr_matrix], L: int, ncols: int,
     cidx = tuple(np.stack([cidx_flat_pad(pp[2][b]) for pp in per_part])
                  for b in range(nb))
     tile_order = np.stack([o.astype(np.int32) for o in orders])
+    vals_lo = None
+    if keep_lo:
+        los = [np.asarray(A.data, np.float64)
+               - A.data.astype(np.float32).astype(np.float64)
+               for A in csrs]
+        if any(np.any(lo) for lo in los):
+            # structure-only scan ⇒ the residual slabs reuse each part's
+            # scan/order; an all-zero part still fills (zero slabs keep
+            # the stacked shapes SPMD-uniform)
+            lo_parts = [
+                sell_fill_phase(
+                    sp.csr_matrix((lo, A.indices, A.indptr), shape=A.shape),
+                    s, o, buckets, G_b, np.float32, to_device=n)
+                for A, lo, s, o, n in zip(csrs, los, scans, orders, natives)]
+            vals_lo = tuple(stack([pp[0][b] for pp in lo_parts])
+                            for b in range(nb))
     return SellBlocks(vals=vals, lidx=lidx, cidx=cidx,
-                      tile_order=tile_order, ncols=ncols)
+                      tile_order=tile_order, ncols=ncols, vals_lo=vals_lo)
 
 
-def build_dist_sell(pm: PartitionedMatrix,
-                    dtype=np.float32) -> DistSellOperator:
+def build_dist_sell(pm: PartitionedMatrix, dtype=np.float32,
+                    keep_lo: bool = False) -> DistSellOperator:
     """Build the stacked owned/interface SELL blocks from a partitioned
     matrix.  Entries come from the partition's ELL slabs (zero-valued
     padding slots dropped), so no access to the original global matrix
-    is needed."""
+    is needed.  ``keep_lo`` builds the df64 rounding-residual slabs
+    (see _common_layout) for the distributed pipelined-df64 solver."""
     P, L, G = pm.P, pm.L, pm.G
     own_csrs = [_ell_to_csr(pm.own_colidx[p], pm.own_vals[p], L, L)
                 for p in range(P)]
     gst_csrs = [_ell_to_csr(pm.ghost_colidx[p], pm.ghost_vals[p], L, G)
                 for p in range(P)]
-    own = _common_layout(own_csrs, L, L, dtype)
-    gst = _common_layout(gst_csrs, L, G, dtype)
+    own = _common_layout(own_csrs, L, L, dtype, keep_lo=keep_lo)
+    gst = _common_layout(gst_csrs, L, G, dtype, keep_lo=keep_lo)
     nnz_true = sum(int(a.nnz) for a in own_csrs) \
         + sum(int(a.nnz) for a in gst_csrs)
-    return DistSellOperator(own=own, gst=gst, P=P, L=L, nnz_true=nnz_true)
+    return DistSellOperator(own=own, gst=gst, P=P, L=L, nnz_true=nnz_true,
+                            df64_ready=keep_lo)
 
 
 def sell_block_spmv(blk: dict, x: jnp.ndarray, ncols: int,
@@ -174,3 +200,40 @@ def dist_sell_spmv_with_ghosts(own: dict, gst: dict, x_own: jnp.ndarray,
     y_own = sell_block_spmv(own, x_own, own_ncols, L)
     y_gst = sell_block_spmv(gst, ghosts, gst_ncols, L)
     return y_own + y_gst
+
+
+def sell_block_spmv_df64(blk: dict, xh: jnp.ndarray, xl: jnp.ndarray,
+                         ncols: int, L: int):
+    """(yh, yl) ≈ A_blk @ (xh + xl) for one device's block — the df64
+    counterpart of sell_block_spmv (ops/pallas_sell.sell_spmv_df64).
+    Uses the ``vals_lo`` residual slabs when the block carries them
+    (build_dist_sell(keep_lo=True))."""
+    from ..ops.pallas_sell import sell_spmv_df64
+    Nx = _round_up(max(ncols, 1), 1024)
+    los = blk["vals_lo"] if "vals_lo" in blk else (None,) * len(blk["vals"])
+    ys = [sell_spmv_df64(v, lo, l, c, xh, xl, Nx)
+          for v, lo, l, c in zip(blk["vals"], los, blk["lidx"], blk["cidx"])]
+    out = []
+    for comp in range(2):
+        y_sorted = jnp.concatenate([y[comp].reshape(-1, 128) for y in ys],
+                                   axis=0) if len(ys) > 1 \
+            else ys[0][comp].reshape(-1, 128)
+        y = jnp.zeros_like(y_sorted).at[blk["tile_order"]].set(
+            y_sorted, unique_indices=True)
+        out.append(y.reshape(-1)[:L])
+    return tuple(out)
+
+
+def dist_sell_spmv_with_ghosts_df64(own: dict, gst: dict,
+                                    xh: jnp.ndarray, xl: jnp.ndarray,
+                                    gh: jnp.ndarray, gl: jnp.ndarray,
+                                    own_ncols: int, gst_ncols: int):
+    """df64 owned + interface SpMV: both block products are (hi, lo)
+    pairs combined with an error-free df_add, giving the general-
+    partition f64-parity q = A·w (what the reference's per-rank merge
+    kernel computes in native f64, cg-kernels-cuda.cu:358-441)."""
+    from ..ops import df64
+    L = xh.shape[0]
+    oh, ol = sell_block_spmv_df64(own, xh, xl, own_ncols, L)
+    th, tl = sell_block_spmv_df64(gst, gh, gl, gst_ncols, L)
+    return df64.df_add(oh, ol, th, tl)

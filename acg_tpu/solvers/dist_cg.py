@@ -250,6 +250,12 @@ def solve_dist_general(pm: PartitionedMatrix, b: np.ndarray,
         raise ValueError(
             f"unknown operator {operator!r}; expected one of {OPERATORS}")
     mesh = make_mesh(pm.P, devices)
+    df = method == "pipelined-df64"
+    if df and operator != "sell":
+        raise ValueError(
+            "pipelined-df64 on general partitions needs operator='sell' "
+            "(the df64 chunked-gather kernel); operator='ell' can store "
+            "f64 directly — use method='pipelined' there")
     if operator == "sell":
         vdtype = np.dtype(dtype) if dtype is not None else np.dtype(np.float32)
         if vdtype != np.float32:
@@ -257,25 +263,47 @@ def solve_dist_general(pm: PartitionedMatrix, b: np.ndarray,
                 "operator='sell' stores float32 slabs (Mosaic kernels are "
                 "f32-only on TPU); use dot_dtype='mixed' or 'float64' for "
                 "f64-quality reductions, or operator='ell' for f64 storage")
+        if df:
+            # slabs stay f32 (+ lo residuals); the loop's b/x0 and scalar
+            # recurrences are f64 (solvers/cg.pipelined_cg_loop_df64_spmv)
+            vdtype = np.dtype(np.float64)
     else:
         vdtype = np.dtype(dtype) if dtype is not None else np.float64
 
     stk = NamedSharding(mesh, P(AXIS))
     if operator == "sell":
         from ..parallel.dist_sell import (build_dist_sell,
-                                          dist_sell_spmv_with_ghosts)
-        dso = sell_op if sell_op is not None else build_dist_sell(pm)
+                                          dist_sell_spmv_with_ghosts,
+                                          dist_sell_spmv_with_ghosts_df64)
+        dso = sell_op if sell_op is not None else build_dist_sell(
+            pm, keep_lo=df)
         own_t = jax.tree_util.tree_map(
             lambda a: jax.device_put(jnp.asarray(a), stk), dso.own.tree())
         gst_t = jax.tree_util.tree_map(
             lambda a: jax.device_put(jnp.asarray(a), stk), dso.gst.tree())
         op_args = (own_t, gst_t)
         op_shapes = tuple(v.shape for v in dso.own.vals) \
-            + tuple(v.shape for v in dso.gst.vals)
+            + tuple(v.shape for v in dso.gst.vals) \
+            + (dso.own.vals_lo is not None, dso.gst.vals_lo is not None)
         own_ncols, gst_ncols = dso.own.ncols, dso.gst.ncols
+
+        if df and not dso.df64_ready:
+            raise ValueError(
+                "pipelined-df64 needs a sell_op built with "
+                "build_dist_sell(pm, keep_lo=True) (rounding-residual "
+                "slabs, or the keep_lo build's proof that the matrix is "
+                "f32-exact and needs none)")
 
         def make_spmv(op_local, h, halo_fn):
             own_l, gst_l = op_local
+
+            if df:
+                def spmv(wh, wl):
+                    gh = halo_fn(wh, *h, AXIS)
+                    gl = halo_fn(wl, *h, AXIS)
+                    return dist_sell_spmv_with_ghosts_df64(
+                        own_l, gst_l, wh, wl, gh, gl, own_ncols, gst_ncols)
+                return spmv
 
             def spmv(xx):
                 ghosts = halo_fn(xx, *h, AXIS)
@@ -316,6 +344,11 @@ def solve_dist_general(pm: PartitionedMatrix, b: np.ndarray,
                 raise ValueError("pipelined-fused has no history variant")
             from .cg import pipelined_cg_loop_fused_spmv
             fn = pipelined_cg_loop_fused_spmv
+        elif method == "pipelined-df64":
+            if history:
+                raise ValueError("pipelined-df64 has no history variant")
+            from .cg import pipelined_cg_loop_df64_spmv
+            fn = pipelined_cg_loop_df64_spmv   # spmv closure is spmv2(wh, wl)
         else:
             fn = _loop_fns(method, history)
         nop = len(op_args)

@@ -156,3 +156,58 @@ def test_dist_sell_diagonal_empty_interface(rng):
     x, info = solve_dist_general(pm, b, opt=opt, operator="sell")
     assert info.converged
     assert np.linalg.norm(x - xstar) / np.linalg.norm(xstar) < 1e-5
+
+
+def test_dist_sell_df64_converges(rng):
+    """Distributed pipelined-df64 on a general (BFS) partition: per-device
+    df64 chunked-gather SpMV on the owned + interface blocks with the halo
+    exchanged on both (hi, lo) components — the multi-chip f64-parity mode
+    matching the reference's per-rank f64 pipelined kernel on arbitrary
+    partitions (cg-kernels-cuda.cu:1316-1711).  CPU interpret validates
+    convergence; df64 depth is covered by test_sell.py's SpMV accuracy
+    test and on hardware."""
+    A, pm = poisson_pm(14, 8, rng)
+    A = (A / 3.0).tocsr()                       # inexact in f32
+    pm = build_partitioned_matrix(
+        A, partition_bfs_recursive(A.indptr, A.indices, 8, seed=0), pad_to=8)
+    N = A.shape[0]
+    xstar = rng.standard_normal(N)
+    xstar /= np.linalg.norm(xstar)
+    b = A @ xstar
+    opt = CGOptions(max_iterations=3000, residual_rtol=1e-5, check_every=4)
+    x, info = solve_dist_general(pm, b, opt=opt, method="pipelined-df64",
+                                 operator="sell")
+    assert info.converged
+    assert np.linalg.norm(x - xstar) / np.linalg.norm(xstar) < 1e-3
+
+
+def test_dist_sell_df64_needs_keep_lo(rng):
+    """A caller-supplied sell_op without the keep_lo build is rejected
+    (it can't prove the matrix is f32-exact), and pipelined-df64 demands
+    operator='sell'."""
+    A, pm = poisson_pm(8, 2, rng)
+    dso = build_dist_sell(pm)                   # no keep_lo
+    with pytest.raises(ValueError, match="keep_lo"):
+        solve_dist_general(pm, np.ones(A.shape[0]), operator="sell",
+                           method="pipelined-df64", sell_op=dso)
+    with pytest.raises(ValueError, match="sell"):
+        solve_dist_general(pm, np.ones(A.shape[0]), operator="ell",
+                           method="pipelined-df64")
+
+
+def test_dist_sell_df64_exact_matrix_no_lo_slabs(rng):
+    """keep_lo on an f32-exact matrix builds no residual slabs (proof
+    recorded in df64_ready) and the solve still runs."""
+    A, pm = poisson_pm(10, 4, rng)              # Poisson: f32-exact
+    dso = build_dist_sell(pm, keep_lo=True)
+    assert dso.df64_ready
+    assert dso.own.vals_lo is None and dso.gst.vals_lo is None
+    N = A.shape[0]
+    xstar = rng.standard_normal(N)
+    xstar /= np.linalg.norm(xstar)
+    b = A @ xstar
+    opt = CGOptions(max_iterations=2000, residual_rtol=1e-5, check_every=4)
+    x, info = solve_dist_general(pm, b, opt=opt, method="pipelined-df64",
+                                 operator="sell", sell_op=dso)
+    assert info.converged
+    assert np.linalg.norm(x - xstar) / np.linalg.norm(xstar) < 1e-3
