@@ -364,15 +364,18 @@ class SellOperator:
     vals_lo: tuple | None = None   # f64→f32 rounding-residual slabs
                                    # (same shapes as vals; None ⇒ the
                                    # matrix is exactly f32-representable)
+    df64_ready: bool = False       # built with keep_lo=True (lo slabs
+                                   # present, or proven unnecessary)
 
     def tree_flatten(self):
         return (self.vals, self.lidx, self.cidx, self.tile_order,
-                self.vals_lo), (self.N, self.ncols, self.nnz_true)
+                self.vals_lo), (self.N, self.ncols, self.nnz_true,
+                                self.df64_ready)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         vals, lidx, cidx, tile_order, vals_lo = children
-        return cls(vals, lidx, cidx, tile_order, *aux, vals_lo)
+        return cls(vals, lidx, cidx, tile_order, *aux[:3], vals_lo, aux[3])
 
     @property
     def dtype(self):
@@ -496,7 +499,8 @@ class SellOperator:
                    cidx=tuple(jnp.asarray(cidx_flat_pad(c))
                               for c in cidx_t),
                    tile_order=jnp.asarray(sort_order.astype(np.int32)),
-                   N=N, ncols=ncols, nnz_true=nnz, vals_lo=vals_lo)
+                   N=N, ncols=ncols, nnz_true=nnz, vals_lo=vals_lo,
+                   df64_ready=keep_lo)
 
     # -- SpMV -----------------------------------------------------------------
 

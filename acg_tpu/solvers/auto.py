@@ -45,9 +45,11 @@ def solve_auto(op64, b: np.ndarray, x0: np.ndarray | None = None,
                method32: str = "pipelined-fused", verbose: bool = False):
     """Solve with automatic precision selection/escalation.
 
-    ``op64`` is the f64 operator (DiaOperator, backend xla) used by the
-    df64 stage; ``op32`` the f32 fast-path twin (built from ``op64`` if
-    omitted — DIA only).  Residual-based stopping criteria only.
+    ``op64`` is the operator used by the df64 stage (a DiaOperator with
+    f64 vals, or a SellOperator built with from_csr(keep_lo=True));
+    ``op32`` the f32 fast-path twin (built from ``op64`` if omitted; a
+    keep_lo SELL operator serves both stages itself).  Residual-based
+    stopping criteria only.
     Returns (x (N,) numpy float64, SolveInfo) where ``niterations``
     counts both stages.
     """
@@ -55,19 +57,30 @@ def solve_auto(op64, b: np.ndarray, x0: np.ndarray | None = None,
         raise ValueError("solve_auto supports residual-based stopping "
                          "criteria only (diff criteria need the unfused "
                          "f64 solver)")
-    if op32 is None:
-        from ..core.dia import DiaOperator
-        if not hasattr(op64, "offsets"):
-            raise ValueError("op32 must be provided for non-DIA operators")
-        # op64.vals is already column-padded to op64.Np; slice back to N so
-        # from_arrays re-pads consistently with the f32 backend's pad_to
-        op32 = DiaOperator.from_arrays(
-            np.asarray(op64.offsets),
-            np.asarray(op64.vals, dtype=np.float64)[:, :op64.N],
-            dtype=np.float32, backend="pallas")
-
     bnrm = float(np.linalg.norm(np.asarray(b, dtype=np.float64)))
     escalate = _needs_escalation(opt, bnrm)
+
+    if op32 is None:
+        if hasattr(op64, "offsets"):
+            from ..core.dia import DiaOperator
+            # op64.vals is already column-padded to op64.Np; slice back to
+            # N so from_arrays re-pads consistently with the f32 backend's
+            # pad_to
+            op32 = DiaOperator.from_arrays(
+                np.asarray(op64.offsets),
+                np.asarray(op64.vals, dtype=np.float64)[:, :op64.N],
+                dtype=np.float32, backend="pallas")
+        elif getattr(op64, "df64_ready", False) or not escalate:
+            # SELL operator: the hi slabs ARE the f32 operator, so one
+            # operator serves both stages (stage 1 ignores vals_lo).  The
+            # df64 stage additionally needs the keep_lo build — but only
+            # if this tolerance escalates at all.
+            op32 = op64
+        else:
+            raise ValueError(
+                "op32 must be provided for non-DIA operators (or pass a "
+                "SELL operator built with from_csr(keep_lo=True), which "
+                "serves both stages)")
 
     # Stage 1: f32 fast path, clamped to its floor.  When no escalation
     # is needed this is the whole solve.

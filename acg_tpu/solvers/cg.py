@@ -835,6 +835,11 @@ def _run_single(op, bp, x0p, opt: CGOptions, method: str, history: bool,
                 raise ValueError(
                     f"{type(op).__name__} has no df64 SpMV; "
                     "pipelined-df64 needs a DIA or SELL operator")
+            if not getattr(op, "df64_ready", True):
+                raise ValueError(
+                    "pipelined-df64 needs the operator built with "
+                    "from_csr(keep_lo=True): without the keep_lo build "
+                    "the matrix would silently round to f32")
             return pipelined_cg_loop_df64_spmv(op.spmv_df64, bp, x0p, opt)
         return pipelined_cg_loop_df64(op, bp, x0p, opt,
                                       vals_exact=vals_exact, accum=accum)

@@ -96,3 +96,48 @@ def test_cli_acg_auto(tmp_path, capsys):
     val = float(err.split(
         "manufactured solution error 2-norm: ")[1].splitlines()[0])
     assert val < 1e-7
+
+
+def test_auto_sell_operator(rng):
+    """A keep_lo SELL operator serves BOTH stages: f32 fast path on the
+    hi slabs, df64 restart using the rounding-residual slabs — precision
+    auto-escalation for unstructured matrices (the reference's headline
+    use case runs f64 end to end, acg-cuda.c:489-530)."""
+    from acg_tpu.core.sell import SellOperator
+    from test_unstructured import random_spd
+
+    A = random_spd(600, 5, rng) / 3.0         # inexact in f32
+    N = A.shape[0]
+    op = SellOperator.from_csr(A, keep_lo=True)
+    xstar = rng.standard_normal(N)
+    xstar /= np.linalg.norm(xstar)
+    b = A @ xstar
+    # loose: stays f32 (niterations == the single f32 stage)
+    opt = CGOptions(max_iterations=1000, residual_rtol=1e-3, check_every=4)
+    x, info = solve_auto(op, b, opt=opt)
+    assert info.converged
+    # tight: escalates, df64 restart reaches 1e-8 true residual
+    opt = CGOptions(max_iterations=1000, residual_rtol=1e-8, check_every=4)
+    x, info = solve_auto(op, b, opt=opt)
+    assert info.converged
+    rnrm = np.linalg.norm(b - A @ x)
+    assert rnrm < 1e-8 * np.linalg.norm(b) * 2
+    assert np.linalg.norm(x - xstar) < 1e-6
+
+
+def test_auto_sell_requires_keep_lo(rng):
+    """Without the keep_lo build the matrix would silently round to f32
+    in the df64 stage — both solve_auto and the direct pipelined-df64
+    dispatch must refuse."""
+    from acg_tpu.core.sell import SellOperator
+    from test_unstructured import random_spd
+
+    A = random_spd(300, 5, rng) / 3.0
+    op = SellOperator.from_csr(A)             # no keep_lo
+    b = np.ones(A.shape[0])
+    with pytest.raises(ValueError, match="keep_lo"):
+        solve_auto(op, b, opt=CGOptions(max_iterations=10,
+                                        residual_rtol=1e-8))
+    with pytest.raises(ValueError, match="keep_lo"):
+        solve(op, b, opt=CGOptions(max_iterations=10),
+              method="pipelined-df64")
