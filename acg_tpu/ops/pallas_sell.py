@@ -137,7 +137,7 @@ def _sell_kernel(G, T, Sc, x_hbm, cidx_hbm, vals_ref, lidx_ref, y_ref,
         compute(cbuf1)
 
 
-def _sell_kernel_df64(G, T, Sc, has_lo,
+def _sell_kernel_df64(G, T, Sc, has_lo, interp,
                       xh_hbm, xl_hbm, cidx_hbm, vals_refs, lidx_ref,
                       yh_ref, yl_ref, xvh, xvl, cbuf0, cbuf1, sem, csem):
     """df64 (double-f32) variant of _sell_kernel: x is an explicit
@@ -227,8 +227,22 @@ def _sell_kernel_df64(G, T, Sc, has_lo,
 
             z = jnp.zeros((128,), jnp.float32)
             with df64.no_barriers():
-                accs = jax.lax.fori_loop(
-                    jnp.int32(0), jnp.int32(G // 8), body, (z,) * 16)
+                # interpret mode (CPU tests) must UNROLL this loop: the
+                # pallas interpreter executes straight-line kernel ops
+                # eagerly (error-free transforms hold), but a fori_loop
+                # body becomes one compiled XLA:CPU unit whose excess-
+                # precision evaluation silently destroys the EFTs —
+                # measured 9e-9 (looped) vs 5e-15 (unrolled) relative
+                # error, barriers notwithstanding.  On hardware Mosaic
+                # compiles both forms exactly; the loop keeps code size
+                # independent of G.
+                if interp:
+                    accs = (z,) * 16
+                    for q in range(G // 8):
+                        accs = body(jnp.int32(q), accs)
+                else:
+                    accs = jax.lax.fori_loop(
+                        jnp.int32(0), jnp.int32(G // 8), body, (z,) * 16)
                 # pairwise tree fold of the 8 accumulator pairs
                 pairs = [(accs[2 * k], accs[2 * k + 1]) for k in range(8)]
                 while len(pairs) > 1:
@@ -285,7 +299,8 @@ def sell_spmv_df64(vals: jnp.ndarray, vals_lo, lidx: jnp.ndarray,
     else:
         assert cidx.shape == (ntiles * Sc,), (cidx.shape, ntiles, Sc)
         cidx_flat = cidx
-    kernel = functools.partial(_sell_kernel_df64, G, T, Sc, has_lo)
+    interp = jax.default_backend() == "cpu"
+    kernel = functools.partial(_sell_kernel_df64, G, T, Sc, has_lo, interp)
     z32 = np.int32(0)
     slab_spec = pl.BlockSpec((T, G, 8, 128), lambda i: (i, z32, z32, z32),
                              memory_space=pltpu.VMEM)

@@ -165,17 +165,22 @@ def test_sell_spmv_df64_accuracy(rng):
     (cg-kernels-cuda.cu:358-441).  Unlike the fused update pass, the
     kernel's error-free transforms survive CPU interpret mode, so the
     full accuracy is assertable here (measured 3.6e-15)."""
-    A = random_spd(700, 6, rng) / 3.0            # inexact in f32
-    op = SellOperator.from_csr(A, keep_lo=True)
-    assert op.vals_lo is not None                # lo slabs present
-    x = rng.standard_normal(A.shape[0])
-    xp = np.zeros(op.Np)
-    xp[:op.N] = x
-    xh, xl = df_split(xp)
-    yh, yl = op.spmv_df64(jnp.asarray(xh), jnp.asarray(xl))
-    y = np.asarray(yh, np.float64)[:op.N] + np.asarray(yl, np.float64)[:op.N]
-    ref = A @ x
-    assert np.linalg.norm(y - ref) / np.linalg.norm(ref) < 1e-12
+    # degree sweep exercises G=8 (single accumulator trip), G>=16
+    # (multi-trip two_sum accumulation — the case that caught the
+    # interpret-mode fori_loop EFT loss) and multi-bucket layouts
+    for deg in (6, 15, 30):
+        A = random_spd(700, deg, rng) / 3.0      # inexact in f32
+        op = SellOperator.from_csr(A, keep_lo=True)
+        assert op.vals_lo is not None            # lo slabs present
+        x = rng.standard_normal(A.shape[0])
+        xp = np.zeros(op.Np)
+        xp[:op.N] = x
+        xh, xl = df_split(xp)
+        yh, yl = op.spmv_df64(jnp.asarray(xh), jnp.asarray(xl))
+        y = np.asarray(yh, np.float64)[:op.N] \
+            + np.asarray(yl, np.float64)[:op.N]
+        ref = A @ x
+        assert np.linalg.norm(y - ref) / np.linalg.norm(ref) < 1e-12, deg
 
 
 def test_sell_spmv_df64_exact_matrix_skips_lo(rng):
