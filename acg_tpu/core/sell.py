@@ -646,6 +646,162 @@ class PaneledSellOperator:
         return slabs + self.ncols * isz + 2 * self.Np * isz
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class CappedSellOperator:
+    """Cap-and-tail-split chunked-gather operator — the fill lever.
+
+    Per-(row, chunk) entry runs longer than ``cap`` are the load-balance
+    tail: a handful of heavy rows force extra slot groups on all 128
+    rows of their tile (the exact imbalance the reference's merge-CSR
+    split exists to avoid, cg-kernels-cuda.cu:312-441).  Split them out:
+
+      * MAIN: every (row, chunk) run truncated at ``cap`` entries — at
+        cap=8 exactly one slot group per touched (tile, chunk);
+      * TAIL: the beyond-cap entries of the heavy rows, COMPACTED into
+        a dense small matrix (rows renumbered 0..ntail-1) and laid out
+        as its own SellOperator — dense because only heavy rows remain.
+
+    y = main·x + scatter_add(tail_rows, tail·x).  Host-side accounting
+    on the 600k-row mesh solid (scripts/exp_fill_levers.py): cluster-
+    order fill 0.121 → ~0.24 effective, i.e. ~half the slot traffic.
+    """
+
+    main: "SellOperator"
+    tail: "SellOperator | None"
+    tail_rows: jnp.ndarray      # (ntail,) int32 global row per tail row
+    N: int
+    ncols: int
+    nnz_true: int
+    cap: int = 8
+
+    def tree_flatten(self):
+        return (self.main, self.tail, self.tail_rows), \
+            (self.N, self.ncols, self.nnz_true, self.cap)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    @property
+    def dtype(self):
+        return self.main.dtype
+
+    @property
+    def Np(self) -> int:
+        return self.main.Np
+
+    @property
+    def ntiles(self) -> int:
+        return self.main.ntiles
+
+    @property
+    def G(self) -> int:
+        return max(self.main.G, self.tail.G if self.tail else 0)
+
+    @property
+    def nnz(self) -> int:
+        return self.main.nnz + (self.tail.nnz if self.tail else 0)
+
+    @property
+    def S(self) -> int:
+        return -(-self.nnz // self.Np)
+
+    @property
+    def fill(self) -> float:
+        return self.nnz_true / max(self.nnz, 1)
+
+    @property
+    def vals_lo(self):
+        """None iff both blocks are f32-exact (solve() reads this)."""
+        if self.main.vals_lo is not None:
+            return self.main.vals_lo
+        return self.tail.vals_lo if self.tail is not None else None
+
+    @property
+    def df64_ready(self) -> bool:
+        return self.main.df64_ready and \
+            (self.tail is None or self.tail.df64_ready)
+
+    @classmethod
+    def from_csr(cls, A, cap: int = 8, dtype=np.float32,
+                 max_stored_bytes: int = 13 * 1024**3,
+                 keep_lo: bool = False) -> "CappedSellOperator":
+        import scipy.sparse as sp
+        A = A.tocsr()
+        A.sort_indices()
+        N, ncols = A.shape
+        nnz = int(A.nnz)
+        rowlen = np.diff(A.indptr)
+        row = np.repeat(np.arange(N, dtype=np.int64), rowlen)
+        c = A.indices.astype(np.int64) >> 7
+        Cn = (max(ncols, 1) + 127) // 128 + 1
+        key = row * Cn + c                       # runs are contiguous
+        run_start = np.ones(nnz, dtype=bool)
+        if nnz > 1:
+            run_start[1:] = key[1:] != key[:-1]
+        first = np.nonzero(run_start)[0]
+        run_id = np.cumsum(run_start) - 1
+        rank = np.arange(nnz, dtype=np.int64) - first[run_id] \
+            if nnz else np.zeros(0, np.int64)
+        tail_mask = rank >= cap
+        ntail_nnz = int(tail_mask.sum())
+
+        def sub_csr(mask, rows, shape):
+            return sp.csr_matrix(
+                (A.data[mask], (rows, A.indices[mask].astype(np.int64))),
+                shape=shape)
+
+        main_csr = sub_csr(~tail_mask, row[~tail_mask], (N, ncols))
+        main = SellOperator.from_csr(main_csr, dtype=dtype,
+                                     max_stored_bytes=max_stored_bytes,
+                                     keep_lo=keep_lo)
+        tail = None
+        tail_rows = jnp.zeros((0,), jnp.int32)
+        if ntail_nnz:
+            trow = row[tail_mask]
+            rows_u, trow_c = np.unique(trow, return_inverse=True)
+            tail_csr = sub_csr(tail_mask, trow_c, (len(rows_u), ncols))
+            tail = SellOperator.from_csr(tail_csr, dtype=dtype,
+                                         max_stored_bytes=max_stored_bytes,
+                                         keep_lo=keep_lo)
+            tail_rows = jnp.asarray(rows_u.astype(np.int32))
+        return cls(main=main, tail=tail, tail_rows=tail_rows,
+                   N=N, ncols=ncols, nnz_true=nnz, cap=cap)
+
+    def spmv(self, x: jnp.ndarray) -> jnp.ndarray:
+        # the tail shares the full column space: the kernel sizes its
+        # VMEM-resident x by ncols (prep_x), so x passes through whole
+        y = self.main.spmv(x)
+        if self.tail is not None:
+            yt = self.tail.spmv(x)
+            y = y.at[self.tail_rows].add(
+                yt[:self.tail_rows.shape[0]], unique_indices=True)
+        return y
+
+    def spmv_df64(self, xh: jnp.ndarray, xl: jnp.ndarray):
+        yh, yl = self.main.spmv_df64(xh, xl)
+        if self.tail is not None:
+            from ..ops import df64 as _df
+            th, tl = self.tail.spmv_df64(xh, xl)
+            k = self.tail_rows.shape[0]
+            zh = jnp.zeros_like(yh).at[self.tail_rows].set(
+                th[:k], unique_indices=True)
+            zl = jnp.zeros_like(yl).at[self.tail_rows].set(
+                tl[:k], unique_indices=True)
+            yh, yl = _df.df_add(yh, yl, zh, zl)
+        return yh, yl
+
+    def flops_per_spmv(self) -> int:
+        return 2 * self.nnz_true
+
+    def bytes_per_spmv(self) -> int:
+        b = self.main.bytes_per_spmv()
+        if self.tail is not None:
+            b += self.tail.bytes_per_spmv()
+        return b
+
+
 def sell_from_csr(A, dtype=np.float32,
                   max_stored_bytes: int = 13 * 1024**3):
     """Build the chunked-gather operator for a CSR matrix of ANY width:

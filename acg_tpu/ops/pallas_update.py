@@ -87,8 +87,12 @@ def _kernel_f32(B, sc_ref, q_ref, x_ref, r_ref, w_ref, z_ref, t_ref, p_ref,
     zo[:] = z
     to[:] = t
     po[:] = p
-    gh, gl = _chunk_fold(r * r, B)
-    dh, dl = _chunk_fold(w * r, B)
+    # barrier-free EFTs: Mosaic has no optimization_barrier primitive
+    # (and preserves f32 rounding without it); interpret mode executes
+    # straight-line kernel ops eagerly, where the EFTs hold regardless
+    with df64.no_barriers():
+        gh, gl = _chunk_fold(r * r, B)
+        dh, dl = _chunk_fold(w * r, B)
     _acc_smem(acc, i, nblocks, part_ref, [(gh, gl), (dh, dl)])
 
 

@@ -227,3 +227,67 @@ def test_sell_df64_vmem_guard():
     xh = jnp.zeros((op.Np,), jnp.float32)
     with pytest.raises(MemoryError, match="partition"):
         huge.spmv_df64(xh, xh)
+
+
+def test_capped_sell_matches_scipy(rng):
+    """Cap-and-tail split (CappedSellOperator): heavy (row, chunk) runs
+    beyond the cap move to a compacted tail operator; y = main·x +
+    scatter_add(tail_rows, tail·x) must equal the unsplit product.  The
+    load-balance analogue of the reference's merge-CSR work split
+    (cg-kernels-cuda.cu:312-441)."""
+    from acg_tpu.core.sell import CappedSellOperator
+
+    A = random_spd(700, 20, rng) / 3.0
+    N = A.shape[0]
+    op = CappedSellOperator.from_csr(A, cap=8, keep_lo=True)
+    assert op.tail is not None and op.tail_rows.shape[0] > 0
+    assert op.nnz_true == A.nnz
+    x = rng.standard_normal(N).astype(np.float32)
+    xp = jnp.zeros((op.Np,), jnp.float32).at[:N].set(jnp.asarray(x))
+    y = np.asarray(op.spmv(xp))[:N]
+    ref = A @ x
+    assert np.linalg.norm(y - ref) / np.linalg.norm(ref) < 1e-5
+    # df64 product through the same split
+    xp64 = np.zeros(op.Np)
+    xp64[:N] = x
+    xh, xl = df_split(xp64)
+    yh, yl = op.spmv_df64(jnp.asarray(xh), jnp.asarray(xl))
+    y2 = np.asarray(yh, np.float64)[:N] + np.asarray(yl, np.float64)[:N]
+    ref64 = A @ x.astype(np.float64)
+    assert np.linalg.norm(y2 - ref64) / np.linalg.norm(ref64) < 1e-12
+    assert op.df64_ready
+
+
+def test_capped_sell_solver_and_auto(rng):
+    """The capped operator drops into every solver path: pipelined-fused,
+    pipelined-df64, and precision auto-escalation."""
+    from acg_tpu.core.sell import CappedSellOperator
+    from acg_tpu.solvers.auto import solve_auto
+
+    A = random_spd(600, 12, rng) / 3.0
+    N = A.shape[0]
+    op = CappedSellOperator.from_csr(A, cap=8, keep_lo=True)
+    xstar = rng.standard_normal(N)
+    xstar /= np.linalg.norm(xstar)
+    b = A @ xstar
+    opt = CGOptions(max_iterations=2000, residual_rtol=1e-5, check_every=4)
+    x1, i1 = solve(op, b, opt=opt, method="pipelined-fused")
+    assert i1.converged and np.linalg.norm(x1 - xstar) < 1e-3
+    x2, i2 = solve(op, b, opt=opt, method="pipelined-df64")
+    assert i2.converged and np.linalg.norm(x2 - xstar) < 1e-3
+    opt8 = CGOptions(max_iterations=2000, residual_rtol=1e-8, check_every=4)
+    x3, i3 = solve_auto(op, b, opt=opt8)
+    assert i3.converged
+    assert np.linalg.norm(b - A @ x3) < 1e-8 * np.linalg.norm(b) * 2
+
+
+def test_capped_sell_no_tail_when_cap_large(rng):
+    from acg_tpu.core.sell import CappedSellOperator
+
+    A = random_spd(300, 4, rng)
+    op = CappedSellOperator.from_csr(A, cap=1024)
+    assert op.tail is None
+    x = rng.standard_normal(A.shape[0]).astype(np.float32)
+    xp = jnp.zeros((op.Np,), jnp.float32).at[:A.shape[0]].set(jnp.asarray(x))
+    y = np.asarray(op.spmv(xp))[:A.shape[0]]
+    assert np.linalg.norm(y - A @ x) / np.linalg.norm(A @ x) < 1e-5
