@@ -111,6 +111,11 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--backend", default="xla", choices=("xla", "pallas"),
                    help="DIA SpMV implementation: xla shifted slices or the "
                         "pallas streaming kernel [xla]")
+    g.add_argument("--sell-cap", type=int, default=0, metavar="R",
+                   help="SELL cap-and-tail split: per-(row, chunk) entry "
+                        "runs beyond R go to a compacted tail operator "
+                        "(higher fill on heavy-tailed matrices; 8 is a "
+                        "good value); 0 = off [0]")
     g = p.add_argument_group("communication options")
     g.add_argument("--comm", default="none",
                    choices=("none", "xla", "mpi", "nccl", "nvshmem"),
@@ -257,39 +262,53 @@ def main(argv=None) -> int:
                 print("error: --solver acg-auto is single-device "
                       "(use acg-pipelined with --nparts)", file=sys.stderr)
                 raise SystemExit(1)
-            if dia is None:
-                print("error: --solver acg-auto requires the DIA format "
-                      "(use --reorder rcm, or acg-pipelined with --format "
-                      "sell --dtype float32)", file=sys.stderr)
-                raise SystemExit(1)
             from ..solvers.auto import solve_auto
-            offsets, vals = dia
-            op64 = DiaOperator.from_arrays(offsets, vals, dtype=np.float64,
-                                           backend="xla")
+            if dia is not None and args.format in ("auto", "dia"):
+                offsets, vals = dia
+                op64 = DiaOperator.from_arrays(offsets, vals,
+                                               dtype=np.float64,
+                                               backend="xla")
+            else:
+                # unstructured: one keep_lo SELL operator serves both the
+                # f32 stage and the df64 restart
+                op64 = _make_op(keep_lo=True, force_f32=True)
+                if not hasattr(op64, "spmv_df64"):
+                    print("error: --solver acg-auto needs the DIA or SELL "
+                          "format", file=sys.stderr)
+                    raise SystemExit(1)
             return solve_auto(op64, b, x0, opt, verbose=args.verbose > 0)
         if args.solver in ("acg-fused", "acg-df64"):
             if nparts > 1:
                 print(f"error: --solver {args.solver} is single-device "
                       "(use acg-pipelined with --nparts)", file=sys.stderr)
                 raise SystemExit(1)
-            op = _make_op()
-            if not hasattr(op, "offsets"):
-                print(f"error: --solver {args.solver} requires the DIA "
-                      "format", file=sys.stderr)
+            df = args.solver == "acg-df64"
+            use_dia = dia is not None and args.format in ("auto", "dia")
+            if args.format == "ell":
+                print(f"error: --solver {args.solver} requires the DIA or "
+                      "SELL format", file=sys.stderr)
                 raise SystemExit(1)
-            if args.solver == "acg-df64" and args.dtype != "float64":
-                print("error: --solver acg-df64 consumes a float64 operator "
-                      "(drop --dtype float32)", file=sys.stderr)
-                raise SystemExit(1)
-            if args.solver == "acg-fused" and args.dtype != "float32":
-                # Mosaic has no f64 tiling on TPU; reject here instead of
-                # a NotImplementedError traceback from inside jit
-                print("error: --solver acg-fused requires --dtype float32 "
-                      "(Mosaic kernels are f32-only on TPU; use acg-df64 "
-                      "for f64-quality results)", file=sys.stderr)
-                raise SystemExit(1)
-            method = ("pipelined-fused" if args.solver == "acg-fused"
-                      else "pipelined-df64")
+            if use_dia:
+                if df and args.dtype != "float64":
+                    print("error: --solver acg-df64 consumes a float64 DIA "
+                          "operator (drop --dtype float32)", file=sys.stderr)
+                    raise SystemExit(1)
+                if not df and args.dtype != "float32":
+                    # Mosaic has no f64 tiling on TPU; reject here instead
+                    # of a NotImplementedError traceback from inside jit
+                    print("error: --solver acg-fused requires --dtype "
+                          "float32 (Mosaic kernels are f32-only on TPU; use "
+                          "acg-df64 for f64-quality results)",
+                          file=sys.stderr)
+                    raise SystemExit(1)
+                op = _make_op()
+            else:
+                # SELL: always f32 hi slabs (Mosaic kernels are f32-only);
+                # acg-df64 represents the f64 matrix as (hi, lo) pairs via
+                # the keep_lo rounding-residual slabs, so --dtype float64
+                # is already honored by the pair — no dtype restriction
+                op = _make_op(keep_lo=df, force_f32=True)
+            method = "pipelined-fused" if not df else "pipelined-df64"
             return solve(op, b, x0, opt, method)
         method = "pipelined" if "pipelined" in args.solver else "cg"
         if nparts > 1:
@@ -347,25 +366,31 @@ def main(argv=None) -> int:
 
     _op_cache = {}
 
-    def _make_op():
-        if "op" not in _op_cache:
+    def _make_op(keep_lo: bool = False, force_f32: bool = False):
+        dtype = "float32" if force_f32 else args.dtype
+        key = ("op", keep_lo, dtype)
+        if key not in _op_cache:
             if dia is not None and args.format in ("auto", "dia"):
                 offsets, vals = dia
-                _op_cache["op"] = DiaOperator.from_arrays(offsets, vals,
-                                                          dtype=args.dtype,
-                                                          backend=args.backend)
+                _op_cache[key] = DiaOperator.from_arrays(offsets, vals,
+                                                         dtype=dtype,
+                                                         backend=args.backend)
             elif args.format == "ell":
                 ci, v = A.to_ell_arrays(epsilon=args.epsilon)
-                _op_cache["op"] = EllOperator.from_arrays(ci, v, dtype=args.dtype)
+                _op_cache[key] = EllOperator.from_arrays(ci, v,
+                                                         dtype=dtype)
             else:
                 # explicit --format sell, or auto on a matrix with too many
-                # diagonals to band: the chunked-gather fast path
+                # diagonals to band: the chunked-gather fast path (keep_lo
+                # adds the df64 rounding-residual slabs; --sell-cap splits
+                # heavy (row, chunk) tails for fill)
                 from ..core.sell import sell_from_csr
-                _op_cache["op"] = sell_from_csr(
-                    A.to_scipy_full(args.epsilon), dtype=args.dtype)
-                log(args, f"SELL layout: S={_op_cache['op'].S} slots, "
-                          f"fill={_op_cache['op'].fill:.3f}")
-        return _op_cache["op"]
+                _op_cache[key] = sell_from_csr(
+                    A.to_scipy_full(args.epsilon), dtype=dtype,
+                    cap=args.sell_cap, keep_lo=keep_lo)
+                log(args, f"SELL layout: S={_op_cache[key].S} slots, "
+                          f"fill={_op_cache[key].fill:.3f}")
+        return _op_cache[key]
 
     def _print_comm_matrix(cm):
         coo = [(i, j, int(cm[i, j])) for i in range(cm.shape[0])

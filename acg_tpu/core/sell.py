@@ -803,16 +803,29 @@ class CappedSellOperator:
 
 
 def sell_from_csr(A, dtype=np.float32,
-                  max_stored_bytes: int = 13 * 1024**3):
+                  max_stored_bytes: int = 13 * 1024**3,
+                  cap: int = 0, keep_lo: bool = False):
     """Build the chunked-gather operator for a CSR matrix of ANY width:
-    a plain SellOperator when x fits VMEM, a PaneledSellOperator above
-    that (scipy's contiguous column slicing and tile-row extraction are
-    single C passes per panel)."""
+    a plain SellOperator when x fits VMEM (CappedSellOperator with
+    ``cap`` > 0 — the fill lever), a PaneledSellOperator above that
+    (scipy's contiguous column slicing and tile-row extraction are
+    single C passes per panel).  ``keep_lo`` builds the df64 residual
+    slabs (single-panel only)."""
     A = A.tocsr()
     N, ncols = A.shape
     if ncols <= MAX_VMEM_ROWS:
+        if cap:
+            return CappedSellOperator.from_csr(
+                A, cap=cap, dtype=dtype,
+                max_stored_bytes=max_stored_bytes, keep_lo=keep_lo)
         return SellOperator.from_csr(A, dtype=dtype,
-                                     max_stored_bytes=max_stored_bytes)
+                                     max_stored_bytes=max_stored_bytes,
+                                     keep_lo=keep_lo)
+    if cap or keep_lo:
+        raise NotImplementedError(
+            "cap/keep_lo are not implemented for column-paneled operators "
+            f"(ncols={ncols:,} > {MAX_VMEM_ROWS:,}); partition the matrix "
+            "across devices for the capped/df64 paths")
     import scipy.sparse as sp
     Np = _round_up(max(N, 1), 128)
     # pad rows to the tile multiple once so tile slicing is exact

@@ -279,3 +279,24 @@ def test_format_sell_unstructured(unstructured_file, tmp_path, fmt, capsys):
     val = float(err.split("manufactured solution error 2-norm: ")[1]
                 .splitlines()[0])
     assert val < 1e-6
+
+
+@pytest.mark.parametrize("solver", ["acg-df64", "acg-auto"])
+def test_sell_df64_and_auto_solvers(unstructured_file, tmp_path, solver,
+                                    capsys):
+    """acg-df64 / acg-auto on the SELL format: the f64 matrix is carried
+    as (hi, lo) f32 pairs (keep_lo slabs) with the cap-and-tail split —
+    f64-quality convergence on an unstructured system through the CLI."""
+    out = tmp_path / "x.mtx"
+    rc = cli_main.main([str(unstructured_file), "--manufactured-solution",
+                        "--format", "sell", "--solver", solver,
+                        "--sell-cap", "8", "--max-iterations", "2000",
+                        "--check-every", "4",
+                        "--residual-rtol", "1e-7", "--warmup", "0",
+                        "-v", "-o", str(out)])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "SELL layout" in err
+    val = float(err.split("manufactured solution error 2-norm: ")[1]
+                .splitlines()[0])
+    assert val < 1e-5
