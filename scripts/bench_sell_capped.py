@@ -1,0 +1,126 @@
+"""Cap-and-tail SELL benchmark — does the fill gain reach the wire?
+
+Host accounting (scripts/exp_fill_levers.py) projects cluster-order fill
+0.121 → ~0.24 when per-(row, chunk) runs are capped at 8 and the heavy
+tail is compacted into its own small operator.  This measures the real
+SpMV on the 600k-row mesh solid for the uncapped baseline and a cap
+sweep, plus end-to-end pipelined-fused CG — the load-balance benefit the
+reference's merge-CSR split gets by construction
+(cg-kernels-cuda.cu:312-441).
+
+Usage: python scripts/bench_sell_capped.py [nodes] [caps...]
+       ACG_BENCH_CPU=1 for an interpret-mode smoke run.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if os.environ.get("ACG_BENCH_CPU") == "1":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+from bench_unstructured import build_matrix  # noqa: E402
+
+SMALL = os.environ.get("ACG_BENCH_CPU") == "1"
+K1, K2 = (1, 3) if SMALL else (10, 60)
+CE = 1 if SMALL else 10
+
+
+def timed(run, *args, reps=2 if SMALL else 5):
+    import jax
+    r = run(*args)
+    jax.block_until_ready(r)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def bench_spmv(op, xp, nnz, label):
+    import jax
+
+    def make(iters):
+        @jax.jit
+        def run(op_, v):
+            def body(_, vv):
+                return op_.spmv(vv) * 1e-3
+            return jax.lax.fori_loop(0, iters, body, v)[0]
+        return run
+
+    per = (timed(make(K2), op, xp) - timed(make(K1), op, xp)) / (K2 - K1)
+    print(f"  {label}: fill={op.fill:.3f}  {per * 1e6:9.1f} us/spmv  "
+          f"{nnz / per / 1e9:6.2f} Gnnz/s", flush=True)
+    return per
+
+
+def main():
+    import jax.numpy as jnp
+
+    from acg_tpu.core.sell import CappedSellOperator, SellOperator
+    from acg_tpu.partition.ordering import cluster_order
+    from acg_tpu.solvers.cg import CGOptions, solve
+
+    nodes = int(sys.argv[1]) if len(sys.argv) > 1 else \
+        (2000 if SMALL else 200000)
+    caps = [int(c) for c in sys.argv[2:]] or [8, 16]
+    A = build_matrix(nodes)
+    perm = cluster_order(A.indptr, A.indices, ball=256)
+    A = A[perm][:, perm].tocsr()
+    N = A.shape[0]
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(N).astype(np.float32)
+    ref = A @ x
+
+    t0 = time.perf_counter()
+    base = SellOperator.from_csr(A)
+    print(f"baseline layout {time.perf_counter() - t0:.1f} s", flush=True)
+    xp = jnp.zeros((base.Np,), jnp.float32).at[:N].set(jnp.asarray(x))
+    y = np.asarray(base.spmv(xp))[:N]
+    assert np.linalg.norm(y - ref) / np.linalg.norm(ref) < 1e-4
+    bench_spmv(base, xp, A.nnz, "uncapped")
+    del base
+
+    best = None
+    for cap in caps:
+        t0 = time.perf_counter()
+        op = CappedSellOperator.from_csr(A, cap=cap)
+        tb = time.perf_counter() - t0
+        ntail = op.tail_rows.shape[0] if op.tail is not None else 0
+        print(f"cap={cap}: layout {tb:.1f} s, tail rows {ntail:,} "
+              f"({(op.tail.nnz_true if op.tail else 0) / A.nnz:.1%} of nnz)",
+              flush=True)
+        xp = jnp.zeros((op.Np,), jnp.float32).at[:N].set(jnp.asarray(x))
+        y = np.asarray(op.spmv(xp))[:N]
+        err = np.linalg.norm(y - ref) / np.linalg.norm(ref)
+        assert err < 1e-4, err
+        per = bench_spmv(op, xp, A.nnz, f"cap={cap}  ")
+        if best is None or per < best[1]:
+            best = (cap, per, op)
+        else:
+            del op
+
+    # end-to-end pipelined-fused CG on the best cap
+    cap, per, op = best
+    xstar = rng.standard_normal(N)
+    xstar /= np.linalg.norm(xstar)
+    b = A @ xstar
+    opt = CGOptions(max_iterations=200, residual_rtol=1e-5, check_every=CE)
+    t0 = time.perf_counter()
+    xs, info = solve(op, b, opt=opt, method="pipelined-fused")
+    print(f"  CG (cap={cap}): iters={int(info.niterations)} "
+          f"converged={info.converged} err={np.linalg.norm(xs - xstar):.2e} "
+          f"wall={time.perf_counter() - t0:.2f} s", flush=True)
+
+
+if __name__ == "__main__":
+    main()
