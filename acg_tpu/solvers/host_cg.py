@@ -202,3 +202,105 @@ def solve_host_stepped_dist(offsets, vals, b, nparts=None,
                      r0nrm2=r0nrm2, rnrm2=float(np.sqrt(gamma)),
                      x0nrm2=x0nrm2)
     return np.asarray(x)[: plan.N], info
+
+
+def solve_host_stepped_dist_general(pm, b, x0=None,
+                                    opt: CGOptions = CGOptions(),
+                                    devices=None, halo: str = "allgather",
+                                    dtype=None):
+    """Host-stepped distributed CG on a GENERAL (METIS-style) partition —
+    the full analogue of the reference's host-driven MPI solver on
+    arbitrary partitions (acgsolver_solvempi, cg.c:379-614): every
+    iteration is one jitted shard_map step (halo exchange + owned/interface
+    ELL SpMV + psum-reduced dots + vector updates), and the convergence
+    branch runs on the host after a device→host fetch of the residual
+    norm — one launch + one sync round-trip per iteration, exactly the
+    execution model whose cost the compiled-loop solvers
+    (dist_cg.solve_dist_general) exist to amortize.
+
+    ``pm`` comes from partition.graph.build_partitioned_matrix.  Debug /
+    comparison path; returns (x (N,) numpy, SolveInfo).
+    """
+    from jax import lax, shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.dist import general_spmv_with_ghosts
+    from ..parallel.mesh import AXIS, make_mesh
+    from ..partition.graph import gather_vector, scatter_vector
+    from .dist_cg import _halo_plan
+
+    dd = jnp.dtype(opt.dot_dtype)
+    vdtype = np.dtype(dtype) if dtype is not None else pm.own_vals.dtype
+    mesh = make_mesh(pm.P, devices)
+    stk = NamedSharding(mesh, P(AXIS))
+    op_args = (jax.device_put(pm.own_colidx, stk),
+               jax.device_put(jnp.asarray(pm.own_vals, vdtype), stk),
+               jax.device_put(pm.ghost_colidx, stk),
+               jax.device_put(jnp.asarray(pm.ghost_vals, vdtype), stk))
+    hargs_h, halo_fn = _halo_plan(pm, halo)
+    hargs = [jax.device_put(h, stk) for h in hargs_h]
+    b_l = jax.device_put(scatter_vector(pm, np.asarray(b)).astype(vdtype),
+                         stk)
+    x = jax.device_put(
+        (np.zeros((pm.P, pm.L), vdtype) if x0 is None
+         else scatter_vector(pm, np.asarray(x0)).astype(vdtype)), stk)
+
+    def _spmv(op_local, h):
+        oc, ov, gc, gv = op_local
+
+        def spmv(xx):
+            ghosts = halo_fn(xx, *h, AXIS)
+            return general_spmv_with_ghosts(oc, ov, gc, gv, xx, ghosts)
+        return spmv
+
+    sq = lambda t: tuple(v[0] for v in t)
+
+    def _setup(*a):
+        op_local, (b_, x_), h = sq(a[:4]), sq(a[4:6]), sq(a[6:])
+        r = b_ - _spmv(op_local, h)(x_)
+        return (r[None], lax.psum(nrm2sqr(r, dd), AXIS),
+                lax.psum(nrm2sqr(b_, dd), AXIS),
+                lax.psum(nrm2sqr(x_, dd), AXIS))
+
+    def _step(*a):
+        op_local, (x_, r_, p_) = sq(a[:4]), sq(a[4:7])
+        gamma, h = a[7], sq(a[8:])
+        t = _spmv(op_local, h)(p_)
+        pdott = lax.psum(dot(p_, t, dd), AXIS)
+        alpha = gamma / pdott
+        xn = x_ + alpha.astype(vdtype) * p_
+        rn = r_ - alpha.astype(vdtype) * t
+        gn = lax.psum(nrm2sqr(rn, dd), AXIS)
+        beta = gn / gamma
+        pn = rn + beta.astype(vdtype) * p_
+        return xn[None], rn[None], pn[None], gn
+
+    vspec = [P(AXIS)] * 4
+    setup = jax.jit(shard_map(
+        _setup, mesh=mesh,
+        in_specs=tuple(vspec + [P(AXIS)] * 2 + [P(AXIS)] * len(hargs)),
+        out_specs=(P(AXIS), P(), P(), P()), check_vma=False))
+    step = jax.jit(shard_map(
+        _step, mesh=mesh,
+        in_specs=tuple(vspec + [P(AXIS)] * 3 + [P()] + [P(AXIS)] * len(hargs)),
+        out_specs=(P(AXIS), P(AXIS), P(AXIS), P()), check_vma=False))
+
+    r, gamma_d, bn2_d, x0n2_d = setup(*op_args, b_l, x, *hargs)
+    gamma = float(jax.device_get(gamma_d))
+    bnrm2 = float(np.sqrt(jax.device_get(bn2_d)))
+    x0nrm2 = float(np.sqrt(jax.device_get(x0n2_d)))
+    r0nrm2 = float(np.sqrt(gamma))
+    p = r
+
+    k = 0
+    converged = _check(r0nrm2, float("inf"), bnrm2, x0nrm2, opt)
+    while not converged and k < opt.max_iterations:
+        x, r, p, g = step(*op_args, x, r, p, gamma, *hargs)
+        gamma = float(jax.device_get(g))        # host decision point
+        k += 1
+        converged = _check(np.sqrt(gamma), float("inf"), bnrm2, x0nrm2, opt)
+
+    info = SolveInfo(niterations=k, converged=converged, bnrm2=bnrm2,
+                     r0nrm2=r0nrm2, rnrm2=float(np.sqrt(gamma)),
+                     x0nrm2=x0nrm2)
+    return gather_vector(pm, np.asarray(x)), info

@@ -10,6 +10,9 @@ reference's merge-CSR split gets by construction
 
 Usage: python scripts/bench_sell_capped.py [nodes] [caps...]
        ACG_BENCH_CPU=1 for an interpret-mode smoke run.
+       ACG_HEAVY=1 for a Chung-Lu power-law graph (hub rows with
+       degree in the thousands) instead of the uniform-degree mesh —
+       the regime the cap/tail split is designed for.
 """
 
 from __future__ import annotations
@@ -63,6 +66,37 @@ def bench_spmv(op, xp, nnz, label):
     return per
 
 
+def build_heavy_matrix(nodes: int, seed: int = 11, mean_degree: float = 12.0):
+    """Chung-Lu power-law SPD system: most rows short, hub rows huge.
+
+    Node weights w ~ Pareto(alpha=1.8); M = nodes*mean_degree/2 edges with
+    both endpoints drawn proportional to w, symmetrized, deduped,
+    Laplacian + I (diagonally dominant SPD).  Degree distribution has a
+    genuine tail (max degree in the thousands at 500k nodes) — the case
+    where per-(row, chunk) capping should pay, unlike the uniform mesh.
+    """
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(seed)
+    w = (1.0 + rng.pareto(1.8, nodes)).astype(np.float64)
+    p = w / w.sum()
+    M = int(nodes * mean_degree / 2)
+    t0 = time.perf_counter()
+    i = rng.choice(nodes, size=M, p=p)
+    j = rng.choice(nodes, size=M, p=p)
+    keep = i != j
+    i, j = i[keep], j[keep]
+    G = sp.coo_matrix((np.ones(len(i)), (i, j)), shape=(nodes, nodes))
+    G = ((G + G.T) > 0).astype(np.float64).tocsr()
+    deg = np.diff(G.indptr)
+    A = (sp.diags(deg + 1.0) - G).tocsr()
+    print(f"chung-lu graph: {nodes:,} nodes, nnz={A.nnz:,}, degree "
+          f"median={int(np.median(deg))} p99={int(np.percentile(deg, 99))} "
+          f"max={int(deg.max())} ({time.perf_counter() - t0:.1f} s)",
+          flush=True)
+    return A
+
+
 def main():
     import jax.numpy as jnp
 
@@ -70,10 +104,11 @@ def main():
     from acg_tpu.partition.ordering import cluster_order
     from acg_tpu.solvers.cg import CGOptions, solve
 
+    heavy = os.environ.get("ACG_HEAVY") == "1"
     nodes = int(sys.argv[1]) if len(sys.argv) > 1 else \
-        (2000 if SMALL else 200000)
+        (2000 if SMALL else (500000 if heavy else 200000))
     caps = [int(c) for c in sys.argv[2:]] or [8, 16]
-    A = build_matrix(nodes)
+    A = build_heavy_matrix(nodes) if heavy else build_matrix(nodes)
     perm = cluster_order(A.indptr, A.indices, ball=256)
     A = A[perm][:, perm].tocsr()
     N = A.shape[0]
@@ -82,13 +117,22 @@ def main():
     ref = A @ x
 
     t0 = time.perf_counter()
-    base = SellOperator.from_csr(A)
-    print(f"baseline layout {time.perf_counter() - t0:.1f} s", flush=True)
-    xp = jnp.zeros((base.Np,), jnp.float32).at[:N].set(jnp.asarray(x))
-    y = np.asarray(base.spmv(xp))[:N]
-    assert np.linalg.norm(y - ref) / np.linalg.norm(ref) < 1e-4
-    bench_spmv(base, xp, A.nnz, "uncapped")
-    del base
+    try:
+        base = SellOperator.from_csr(A)
+    except MemoryError as e:
+        # Heavy-tailed matrices are the motivating case for the cap: a
+        # hub row forces every row in its G-bucket to pad to the hub's
+        # chunk count, so the uncapped layout explodes (fill ~0.002 on
+        # the Chung-Lu graph).  Report it and move on to the cap sweep.
+        print(f"uncapped layout INFEASIBLE: {e}", flush=True)
+    else:
+        print(f"baseline layout {time.perf_counter() - t0:.1f} s",
+              flush=True)
+        xp = jnp.zeros((base.Np,), jnp.float32).at[:N].set(jnp.asarray(x))
+        y = np.asarray(base.spmv(xp))[:N]
+        assert np.linalg.norm(y - ref) / np.linalg.norm(ref) < 1e-4
+        bench_spmv(base, xp, A.nnz, "uncapped")
+        del base
 
     best = None
     for cap in caps:

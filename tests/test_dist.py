@@ -183,3 +183,21 @@ def test_host_stepped_distributed(rng):
     x2, i2 = solve_dist_stencil(offsets, vals, b, nparts=4, opt=opt,
                                 method="cg", pad_to=32)
     assert info.niterations == i2.niterations
+
+
+@pytest.mark.parametrize("halo", ["allgather", "alltoall"])
+def test_host_stepped_distributed_general(rng, halo):
+    """Host-driven CG on a GENERAL (METIS-style) partition — the full
+    solvempi analogue (cg.c:379-614): matches the compiled general
+    distributed solver iteration-for-iteration."""
+    from acg_tpu.solvers.host_cg import solve_host_stepped_dist_general
+
+    offsets, vals, A, xstar, b = poisson_system(12, rng)
+    part = partition_bfs_recursive(A.indptr, A.indices, 4, seed=2)
+    pm = build_partitioned_matrix(A, part, pad_to=8)
+    opt = CGOptions(max_iterations=500, residual_rtol=1e-10)
+    x, info = solve_host_stepped_dist_general(pm, b, opt=opt, halo=halo)
+    assert info.converged
+    assert np.linalg.norm(x - xstar) < 1e-8
+    x2, i2 = solve_dist_general(pm, b, opt=opt, method="cg", halo=halo)
+    assert info.niterations == i2.niterations
