@@ -91,13 +91,22 @@ def cidx_flat_pad(cidx_a: np.ndarray) -> np.ndarray:
 
 @functools.partial(jax.jit, static_argnames=("rows2",))
 def _scatter_slabs(fr, rho, val, lane, rows2: int):
-    """Materialize the (rows2, 128) vals/lidx slabs on device from the
-    per-entry coordinates (unique (fr, rho) pairs by construction)."""
+    """Materialize the (rows2, 128) vals slab and the 4:1-PACKED lane
+    slab on device from the per-entry coordinates.  The lane table is
+    scattered directly into its packed form (byte ``g mod 4`` of word
+    row ``fr // 32 * 8 + fr % 8``; see pack_lidx) via scatter-ADD of
+    disjoint bytes — building the unpacked int32 table first and
+    packing afterwards transiently needs 4 bytes/slot extra, which
+    pushed near-cap layouts past the 16 GB HBM (measured: an 8 GB-final
+    build thrashed for 27+ min)."""
     vals2 = jnp.zeros((rows2, 128), jnp.float32).at[fr, rho].set(
         val, unique_indices=True)
-    lidx2 = jnp.zeros((rows2, 128), jnp.int32).at[fr, rho].set(
-        lane, unique_indices=True)
-    return vals2, lidx2
+    group, sub = fr // 8, fr % 8
+    pfr = (group // 4) * 8 + sub
+    shift = (group % 4).astype(jnp.int32) * 8
+    lidxp = jnp.zeros((rows2 // 4, 128), jnp.int32).at[pfr, rho].add(
+        lane << shift)
+    return vals2, lidxp
 
 # resident x budget (f32 elements): xv scratch + double-buffered slabs
 # must fit the 16M VMEM; 3M rows of f32 is 12M bytes
@@ -310,10 +319,11 @@ def sell_fill_phase(A, scan: dict, sort_order: np.ndarray, buckets,
         fr = (tile_base[ent["tile"]] + g_of) * 8 + (ent["rank"] & 7)
         rho, lane = ent["rho"], ent["lane"]
     if to_device:
-        vals2, lidx2 = _scatter_slabs(
+        vals2, lidxp = _scatter_slabs(
             jnp.asarray(fr), jnp.asarray(rho),
             jnp.asarray(val.astype(np.float32)), jnp.asarray(lane),
             rows_total * 8)
+        lidx2 = None         # device path scatters the packed table
     else:
         vals2 = np.zeros((rows_total * 8, 128), dtype=dtype)
         lidx2 = np.zeros((rows_total * 8, 128), dtype=np.int32)
@@ -337,8 +347,12 @@ def sell_fill_phase(A, scan: dict, sort_order: np.ndarray, buckets,
         cidx_a[pair_tile_sorted[sel] - s, pair_g[sel]] = chunk_rep[sel]
         vals_t.append(vals2[rs * 8:(rs + nb * g) * 8]
                       .reshape(nb, g, 8, 128))
-        lidx_t.append(pack_lidx(lidx2[rs * 8:(rs + nb * g) * 8]
-                                .reshape(nb, g, 8, 128)))
+        if lidx2 is None:    # device path: already packed (rows/4)
+            lidx_t.append(lidxp[rs * 2:(rs + nb * g) * 2]
+                          .reshape(nb, g // 4, 8, 128))
+        else:
+            lidx_t.append(pack_lidx(lidx2[rs * 8:(rs + nb * g) * 8]
+                                    .reshape(nb, g, 8, 128)))
         cidx_t.append(cidx_a)
     return vals_t, lidx_t, cidx_t
 

@@ -11,8 +11,18 @@ reference's merge-CSR split gets by construction
 Usage: python scripts/bench_sell_capped.py [nodes] [caps...]
        ACG_BENCH_CPU=1 for an interpret-mode smoke run.
        ACG_HEAVY=1 for a Chung-Lu power-law graph (hub rows with
-       degree in the thousands) instead of the uniform-degree mesh —
-       the regime the cap/tail split is designed for.
+       degree in the thousands).  Measured result: the SCATTER regime —
+       every touched (tile, chunk) costs a full 8x128 slot group, and
+       random columns give ~degree distinct chunks per row, so BOTH the
+       uncapped and capped layouts are infeasible (fill 0.002).  The
+       chunked-gather format needs column locality; reorder-first is
+       the pipeline, and capping is orthogonal to chunk scatter.
+       ACG_HEAVY=2 for the regime the cap IS designed for: a mesh solid
+       with one locally-DENSE heavy row per tile (a contiguous ~2k-run
+       each, the arrow/constraint-row pattern after reordering spreads
+       heavy rows across tiles).  Uncapped, each heavy row forces
+       ~run/8 slot groups on all 128 rows of its tile; capped, the
+       beyond-cap entries compact into a small dense tail operator.
 """
 
 from __future__ import annotations
@@ -97,6 +107,35 @@ def build_heavy_matrix(nodes: int, seed: int = 11, mean_degree: float = 12.0):
     return A
 
 
+def add_dense_rows(A, run: int = 2048, every: int = 128, seed: int = 5):
+    """Overlay one locally-dense heavy row per ``every`` rows: row i gets
+    a contiguous ``run``-column band of entries (plus the symmetric
+    column entries and a diagonal shift keeping A SPD via diagonal
+    dominance).  This is the arrow / constraint-row pattern — the regime
+    where per-(row, chunk) runs, not chunk scatter, dominate the SELL
+    padding."""
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(seed)
+    N = A.shape[0]
+    hubs = np.arange(0, N, every, dtype=np.int64)
+    c0 = rng.integers(0, max(N - run, 1), size=len(hubs))
+    r = np.repeat(hubs, run)
+    c = (c0[:, None] + np.arange(run)[None, :]).ravel()
+    keep = r != c
+    B = sp.coo_matrix((np.full(keep.sum(), -0.01), (r[keep], c[keep])),
+                      shape=A.shape)
+    B = (B + B.T).tocsr()
+    B.sum_duplicates()
+    absrow = np.abs(B).sum(axis=1).A.ravel()
+    H = (B + sp.diags(absrow + 1e-3)).tocsr()
+    out = (A + H).tocsr()
+    out.sum_duplicates()
+    print(f"added {len(hubs):,} heavy rows (run {run}): nnz "
+          f"{A.nnz:,} -> {out.nnz:,}", flush=True)
+    return out
+
+
 def main():
     import jax.numpy as jnp
 
@@ -104,21 +143,31 @@ def main():
     from acg_tpu.partition.ordering import cluster_order
     from acg_tpu.solvers.cg import CGOptions, solve
 
-    heavy = os.environ.get("ACG_HEAVY") == "1"
+    heavy = os.environ.get("ACG_HEAVY", "0")
     nodes = int(sys.argv[1]) if len(sys.argv) > 1 else \
-        (2000 if SMALL else (500000 if heavy else 200000))
+        (2000 if SMALL else (500000 if heavy == "1" else 200000))
     caps = [int(c) for c in sys.argv[2:]] or [8, 16]
-    A = build_heavy_matrix(nodes) if heavy else build_matrix(nodes)
+    A = build_heavy_matrix(nodes) if heavy == "1" else build_matrix(nodes)
     perm = cluster_order(A.indptr, A.indices, ball=256)
     A = A[perm][:, perm].tocsr()
+    if heavy == "2":
+        A = add_dense_rows(A, run=64 if SMALL else 2048,
+                           every=32 if SMALL else 128)
     N = A.shape[0]
     rng = np.random.default_rng(0)
     x = rng.standard_normal(N).astype(np.float32)
     ref = A @ x
 
     t0 = time.perf_counter()
+    # Heavy modes bound the uncapped baseline to a PRACTICAL build size:
+    # the device-side fill transiently needs ~2x the final slabs
+    # (unpacked lidx before pack_lidx), so near-13GB layouts thrash a
+    # 16 GB chip — measured 27+ min stuck at 8 GB final.  The sized
+    # MemoryError still reports the projected slots/fill.
+    msb = int(float(os.environ.get(
+        "ACG_MSB_GB", "4" if heavy != "0" else "13")) * 1024**3)
     try:
-        base = SellOperator.from_csr(A)
+        base = SellOperator.from_csr(A, max_stored_bytes=msb)
     except MemoryError as e:
         # Heavy-tailed matrices are the motivating case for the cap: a
         # hub row forces every row in its G-bucket to pad to the hub's
@@ -137,7 +186,11 @@ def main():
     best = None
     for cap in caps:
         t0 = time.perf_counter()
-        op = CappedSellOperator.from_csr(A, cap=cap)
+        try:
+            op = CappedSellOperator.from_csr(A, cap=cap)
+        except MemoryError as e:
+            print(f"cap={cap}: INFEASIBLE: {e}", flush=True)
+            continue
         tb = time.perf_counter() - t0
         ntail = op.tail_rows.shape[0] if op.tail is not None else 0
         print(f"cap={cap}: layout {tb:.1f} s, tail rows {ntail:,} "
@@ -153,6 +206,10 @@ def main():
         else:
             del op
 
+    if best is None:
+        print("no feasible cap layout — scatter-regime matrix (see "
+              "docstring); reorder or partition instead", flush=True)
+        return
     # end-to-end pipelined-fused CG on the best cap
     cap, per, op = best
     xstar = rng.standard_normal(N)
