@@ -55,11 +55,31 @@ def main():
         # shrink the panel machinery so the tiny matrix panels on CPU
         sell_mod.MAX_VMEM_ROWS = 4096
         sell_mod.PANEL_COLS = 2048
-    A = build_matrix(nodes, target_degree=degree)
-    t0 = time.perf_counter()
-    perm = cluster_order(A.indptr, A.indices, ball=256)
-    A = A[perm][:, perm].tocsr()
-    print(f"cluster order {time.perf_counter() - t0:.1f} s", flush=True)
+    # the host-side build (KD-tree + RCM + kron + cluster order) takes
+    # ~10 min at 4.2M rows on this box — cache the ordered matrix so
+    # TPU reruns skip it
+    cache = f"/tmp/paneled_A_{nodes}_{degree:g}.npz"
+    if not SMALL and os.path.exists(cache):
+        import scipy.sparse as sp
+        z = np.load(cache)
+        A = sp.csr_matrix((z["data"], z["indices"], z["indptr"]),
+                          shape=tuple(z["shape"]))
+        print(f"loaded cached matrix {cache}: N={A.shape[0]:,} "
+              f"nnz={A.nnz:,}", flush=True)
+    else:
+        A = build_matrix(nodes, target_degree=degree)
+        t0 = time.perf_counter()
+        perm = cluster_order(A.indptr, A.indices, ball=256)
+        A = A[perm][:, perm].tocsr()
+        print(f"cluster order {time.perf_counter() - t0:.1f} s",
+              flush=True)
+        if not SMALL:
+            np.savez(cache, data=A.data.astype(np.float32),
+                     indices=A.indices, indptr=A.indptr,
+                     shape=np.array(A.shape))
+    # round values to f32 so build-path and cache-path runs solve the
+    # IDENTICAL system (the operator stores f32 anyway)
+    A.data = A.data.astype(np.float32).astype(np.float64)
     N = A.shape[0]
     rng = np.random.default_rng(0)
     xh = rng.standard_normal(N).astype(np.float32)
@@ -68,10 +88,15 @@ def main():
     t0 = time.perf_counter()
     op = sell_from_csr(A, dtype=np.float32)
     tb = time.perf_counter() - t0
-    assert isinstance(op, PaneledSellOperator), type(op)
     stored_gb = op.nnz * (op.dtype.itemsize + 1) / 1e9
-    print(f"paneled sell: {len(op.panels)} panels, fill={op.fill:.3f}, "
-          f"stored {stored_gb:.1f} GB (layout {tb:.1f} s)", flush=True)
+    if isinstance(op, PaneledSellOperator):
+        print(f"paneled sell: {len(op.panels)} panels, fill={op.fill:.3f}, "
+              f"stored {stored_gb:.1f} GB (layout {tb:.1f} s)", flush=True)
+    else:
+        # matrix small enough for the plain operator — still a valid
+        # sanity run, but not the paneled measurement
+        print(f"NOTE: ncols={op.ncols:,} fits VMEM; plain SellOperator "
+              f"(fill={op.fill:.3f}, layout {tb:.1f} s)", flush=True)
     xp = jnp.zeros((op.Np,), jnp.float32).at[:N].set(jnp.asarray(xh))
     y = np.asarray(op.spmv(xp))[:N]
     err = np.linalg.norm(y - ref) / np.linalg.norm(ref)
