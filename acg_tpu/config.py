@@ -32,6 +32,29 @@ def ensure_x64() -> None:
 
         jax.config.update("jax_enable_x64", True)
     _X64_ENABLED = True
+    _maybe_enable_compile_cache()
+
+
+def _maybe_enable_compile_cache() -> None:
+    """Opt-in persistent XLA compilation cache (``ACG_COMPILE_CACHE=dir``).
+
+    TPU compiles of the big solve programs take minutes; the reference
+    pays its analogous cost (cuSPARSE analysis + kernel JIT) per run
+    with no cache.  With a cache dir set, repeat CLI invocations on the
+    same (matrix shape, solver config) skip straight to execution —
+    jax persists compiled executables keyed by HLO + compile options.
+    Off by default: a shared/stale dir can mask compiler-flag changes
+    when debugging, so enabling is an explicit deployment choice."""
+    cache = os.environ.get("ACG_COMPILE_CACHE")
+    if not cache:
+        return
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", cache)
+    # cache every program regardless of compile time (default threshold
+    # skips sub-second compiles — harmless either way, but the CLI's
+    # small setup programs recompile surprisingly often through the CLI)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
 # Index dtype: the ACG_IDX_SIZE=32/64 analogue (config.h:59-94).
