@@ -84,3 +84,28 @@ def test_validate_numfmt():
         validate_numfmt("%*.2f")                    # '*' width unsupported
     # the validated format is directly usable by numpy text formatting
     assert np.char.mod(validate_numfmt("%.3e"), 1.5) == "1.500e+00"
+
+
+def test_compile_cache_env(tmp_path, monkeypatch):
+    """ACG_COMPILE_CACHE points jax's persistent compilation cache at
+    the given directory; compiled executables land there and reload in
+    a fresh process (the CLI-level check is in the commit that added
+    config._maybe_enable_compile_cache)."""
+    import jax
+
+    from acg_tpu import config as cfg
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        monkeypatch.setenv("ACG_COMPILE_CACHE", str(tmp_path))
+        cfg._maybe_enable_compile_cache()
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path)
+
+        @jax.jit
+        def f(x):
+            return x * 2.0 + 1.0
+
+        f(np.arange(8.0)).block_until_ready()
+        assert any(tmp_path.iterdir()), "no cache entries written"
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
