@@ -116,3 +116,46 @@ def test_check_every_keeps_per_iteration_collectives(rng):
                    key=lambda c: sum(c.values()))
     assert per_iter["all-reduce"] == 1, per_iter
     assert per_iter["collective-permute"] == 2, per_iter
+
+
+def test_sell_fused_general_one_allreduce_one_allgather(rng):
+    """Fused SELL pipelined CG on a general partition: ONE all-reduce
+    (the fused update pass emits the stacked (γ, δ) pair) plus 1
+    all-gather halo per iteration — the chunked-gather fast path keeps
+    the Chronopoulos/Gear single-reduction property."""
+    offsets, vals, A, b = _system(rng)
+    part = partition_bfs_recursive(A.indptr, A.indices, 8, seed=0)
+    pm = build_partitioned_matrix(A, part, pad_to=8)
+    opt = CGOptions(max_iterations=4, residual_rtol=0.0, check_every=1,
+                    dot_dtype="mixed")
+    solve_dist_general(pm, b.astype(np.float32), opt=opt,
+                       method="pipelined-fused", operator="sell",
+                       dtype=np.float32)
+    hlo = _LAST_COMPILED[0].as_text()
+    bodies = _while_bodies(hlo)
+    assert bodies
+    per_iter = max((_counts(bd) for bd in bodies),
+                   key=lambda c: sum(c.values()))
+    assert per_iter["all-reduce"] == 1, per_iter
+    assert per_iter["all-gather"] == 1, per_iter
+    assert per_iter["collective-permute"] == 0, per_iter
+
+
+def test_sell_df64_general_one_allreduce_two_allgathers(rng):
+    """df64 SELL pipelined CG: the (hi, lo) halo costs TWO all-gathers
+    (one per component) and still one all-reduce per iteration — the
+    f64-parity path's comm volume is exactly 2x the f32 halo bytes."""
+    offsets, vals, A, b = _system(rng)
+    part = partition_bfs_recursive(A.indptr, A.indices, 8, seed=0)
+    pm = build_partitioned_matrix(A, part, pad_to=8)
+    opt = CGOptions(max_iterations=4, residual_rtol=0.0, check_every=1)
+    solve_dist_general(pm, b, opt=opt, method="pipelined-df64",
+                       operator="sell")
+    hlo = _LAST_COMPILED[0].as_text()
+    bodies = _while_bodies(hlo)
+    assert bodies
+    per_iter = max((_counts(bd) for bd in bodies),
+                   key=lambda c: sum(c.values()))
+    assert per_iter["all-reduce"] == 1, per_iter
+    assert per_iter["all-gather"] == 2, per_iter
+    assert per_iter["collective-permute"] == 0, per_iter
