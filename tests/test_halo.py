@@ -213,3 +213,36 @@ def test_ragged_halo_cpu_reports_no_thunk(rng):
     with pytest.raises(Exception, match="(?i)unimplemented|ragged"):
         solve_dist_general(pm, b, opt=CGOptions(max_iterations=50),
                            method="pipelined", halo="ragged")
+
+
+def test_ragged_halo_program_lowers(rng):
+    """The ragged-all-to-all halo program LOWERS on the virtual mesh with
+    the ragged collective in it — so the TPU-only path's program
+    construction (plan shapes, sharding specs, dtypes) is regression-
+    checked without hardware; XLA:CPU then refuses only at thunk
+    emission (pinned below).  Execution-level checks are the host
+    simulation in test_ragged_plan_matches_allgather_ghosts."""
+    from acg_tpu.parallel.halo import ragged_halo
+
+    A, pm, _, _ = _system(10, rng, 8, seed=3)
+    mesh = make_mesh(pm.P)
+    x_l = rng.standard_normal((pm.P, pm.L))
+
+    def exchange_local(x, si, io, ss, oo, rs):
+        ghosts = ragged_halo(x[0], si[0], io[0], ss[0], oo[0], rs[0],
+                             pm.G, AXIS)
+        return ghosts[None]
+
+    exchange = jax.jit(shard_map(
+        exchange_local, mesh=mesh, in_specs=(P(AXIS),) * 6,
+        out_specs=P(AXIS), check_vma=False))
+    args = (x_l, pm.ragged_send_idx, pm.ragged_input_offsets,
+            pm.ragged_send_sizes, pm.ragged_output_offsets,
+            pm.ragged_recv_sizes)
+    hlo = exchange.lower(*args).as_text()
+    assert "ragged_all_to_all" in hlo or "ragged-all-to-all" in hlo, \
+        hlo[:500]
+    # XLA:CPU has no thunk — execution must fail loudly (UNIMPLEMENTED),
+    # never silently fall back to a different collective
+    with pytest.raises(Exception, match="ragged"):
+        jax.block_until_ready(exchange(*args))
