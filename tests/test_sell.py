@@ -291,3 +291,29 @@ def test_capped_sell_no_tail_when_cap_large(rng):
     xp = jnp.zeros((op.Np,), jnp.float32).at[:A.shape[0]].set(jnp.asarray(x))
     y = np.asarray(op.spmv(xp))[:A.shape[0]]
     assert np.linalg.norm(y - A @ x) / np.linalg.norm(A @ x) < 1e-5
+
+
+def test_scatter_regime_fails_fast(rng):
+    """Matrices with no column locality (random scatter) explode the
+    chunked-gather layout; both builders must refuse with a sized
+    MemoryError BEFORE allocating slabs (measured boundary: a Chung-Lu
+    power-law graph projects fill 0.002 / 20 GB, BENCHMARKS.md), and
+    capping must not mask it (the cap fixes run length, not chunk
+    scatter)."""
+    import scipy.sparse as sp
+
+    from acg_tpu.core.sell import CappedSellOperator, SellOperator
+
+    n, deg = 4096, 8
+    r = np.repeat(np.arange(n, dtype=np.int64), deg)
+    c = rng.integers(0, n, size=n * deg)
+    keep = r != c
+    G = sp.coo_matrix((np.ones(keep.sum()), (r[keep], c[keep])),
+                      shape=(n, n))
+    A = ((G + G.T) > 0).astype(np.float64).tocsr()
+    A = A + sp.diags(np.full(n, deg + 1.0))
+    cap_bytes = 2 * 1024 * 1024
+    with pytest.raises(MemoryError, match="slots"):
+        SellOperator.from_csr(A, max_stored_bytes=cap_bytes)
+    with pytest.raises(MemoryError, match="slots"):
+        CappedSellOperator.from_csr(A, cap=8, max_stored_bytes=cap_bytes)
