@@ -43,6 +43,9 @@ def heavy_rows(A, threshold: int | None = None) -> np.ndarray:
     8× the mean row nnz, min 256) AND column span small enough that the
     row fits one WSUB-subrow window at any 1024-alignment."""
     A = A.tocsr()
+    if not A.has_sorted_indices:   # public helper: don't trust the caller
+        A = A.copy()
+        A.sort_indices()
     counts = np.diff(A.indptr)
     if threshold is None:
         threshold = max(256, int(8 * counts.mean()) if len(counts) else 0)
@@ -156,11 +159,15 @@ class HeavySplitOperator:
         Nx = _round_up(max(self.ncols, 1), 1024)
         y = self.main.spmv(x)
         yt = runtail_spmv(self.tvals, self.tbase, x, Nx)
-        # pad slot N (≤ Np-1 only when N == Np: grow by one, drop after)
+        # Pad slots all map to row N and are therefore NOT unique, so no
+        # unique_indices promise (UB otherwise); their values are forced
+        # to zero — a NaN/Inf anywhere in a pad slot's x window must not
+        # leak into y's padded region (dots/norms are unmasked).
+        yt = jnp.where(self.trows < self.N, yt, 0.0)
         if self.N < self.Np:
-            return y.at[self.trows].add(yt, unique_indices=True)
+            return y.at[self.trows].add(yt)
         return jnp.concatenate([y, jnp.zeros((1,), y.dtype)]) \
-            .at[self.trows].add(yt, unique_indices=True)[:-1]
+            .at[self.trows].add(yt)[:-1]
 
     def flops_per_spmv(self) -> int:
         return 2 * self.nnz_true

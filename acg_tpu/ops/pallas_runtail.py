@@ -32,6 +32,11 @@ XLA alternatives measured first (scripts/exp_runtail.py, real chip,
 4688 rows x 2048-entry runs): vmap(dynamic_slice)+dot 1.26 Gnnz/s,
 aligned-2W-window gather 1.28 Gnnz/s — slice-gathers lower to ~10-15
 GB/s effective, hence this kernel.
+
+STATUS: validated by CPU interpret-mode tests; the Mosaic lowering and
+throughput on the real chip are pending (scripts/bench_runtail.py) —
+the traced-index scalar store into a full-array SMEM output is a
+pattern no other kernel here uses.
 """
 
 from __future__ import annotations
