@@ -29,10 +29,13 @@ SOLVERS = ("acg", "acg-pipelined", "acg-host", "acg-host-pipelined",
            "acg-device", "acg-device-pipelined",   # reference script parity:
            # the compiled while_loop IS the device-initiated variant, so
            # these are aliases of acg / acg-pipelined (DESIGN.md)
-           "acg-fused",   # one-pass pipelined iteration kernel (DIA, 1 chip)
-           "acg-df64",    # double-f32 fused kernel: f64-quality at VPU speed
+           "acg-fused",   # one-pass pipelined iteration kernel (DIA/SELL;
+           # at --nparts>1 the fused update+dots pass runs per device)
+           "acg-df64",    # double-f32 kernels: f64-quality at VPU speed
+           # (single- and multi-device via the keep_lo SELL / DIA slabs)
            "acg-auto",    # precision auto-escalation: f32 fast path, then a
-           # df64 restart only if the tolerance demands it (solvers/auto.py)
+           # df64 restart only if the tolerance demands it (solvers/auto.py;
+           # distributed twin solve_auto_dist at --nparts>1)
            "scipy", "petsc", "jax-ref")
 
 
@@ -251,6 +254,96 @@ def main(argv=None) -> int:
     # --- solve --------------------------------------------------------------
     _halo_info = {"bytes": 0}   # per-exchange wire volume for the stats report
 
+    # the DIA + contiguous-partition shortcut (two-ppermute stencil halo)
+    use_dia_stencil = (dia is not None and args.partition is None
+                       and args.partition_method == "contiguous"
+                       and args.format in ("auto", "dia"))
+
+    _dist_cache = {}   # partition + layouts built once across warmup solves
+
+    def _get_pm():
+        if "pm" not in _dist_cache:
+            with timer.phase("partition"):
+                if args.partition:
+                    part = read_partition(args.partition,
+                                          binary=args.binary_partition)
+                else:
+                    full = A.to_scipy_full(args.epsilon)
+                    part = make_partition(full.indptr, full.indices, nparts,
+                                          method=args.partition_method,
+                                          seed=args.seed)
+                pm = build_partitioned_matrix(
+                    A.to_scipy_full(args.epsilon), part)
+            if args.verbose >= 2:
+                print(pm.describe(), file=sys.stderr)
+            if args.output_comm_matrix:
+                _print_comm_matrix(pm.comm_matrix)
+            _halo_info["bytes"] = (int(pm.comm_matrix.sum())
+                                   * np.dtype(args.dtype).itemsize)
+            _dist_cache["pm"] = pm
+        return _dist_cache["pm"]
+
+    def _get_dist_sell(keep_lo: bool = False):
+        key = ("dso", keep_lo)
+        if key not in _dist_cache:
+            with timer.phase("format"):
+                from ..parallel.dist_sell import build_dist_sell
+                _dist_cache[key] = build_dist_sell(_get_pm(),
+                                                   keep_lo=keep_lo)
+            log(args, "distributed SELL layout: "
+                      f"fill={_dist_cache[key].fill:.3f}")
+        return _dist_cache[key]
+
+    def _run_dist_fast():
+        """acg-fused / acg-df64 / acg-auto at nparts>1: the distributed
+        kernel-speed paths (the reference driver dispatches every solver
+        at every commsize, acg-cuda.c:2241-2262)."""
+        df = args.solver == "acg-df64"
+        if args.format == "ell":
+            print(f"error: --solver {args.solver} requires the DIA or "
+                  "SELL format", file=sys.stderr)
+            raise SystemExit(1)
+        if args.solver == "acg-auto":
+            from ..solvers.auto import (_needs_escalation, solve_auto_dist,
+                                        solve_auto_dist_stencil)
+            if use_dia_stencil:
+                offsets, vals = dia
+                hw = max(1, int(np.abs(offsets).max()))
+                _halo_info["bytes"] = (2 * hw * (nparts - 1)
+                                       * np.dtype(args.dtype).itemsize)
+                return solve_auto_dist_stencil(offsets, vals, b,
+                                               nparts=nparts, x0=x0, opt=opt,
+                                               verbose=args.verbose > 0)
+            bnrm = float(np.linalg.norm(np.asarray(b, np.float64)))
+            dso = _get_dist_sell(keep_lo=_needs_escalation(opt, bnrm))
+            return solve_auto_dist(_get_pm(), b, x0=x0, opt=opt,
+                                   halo=args.halo, sell_op=dso,
+                                   verbose=args.verbose > 0)
+        if use_dia_stencil:
+            offsets, vals = dia
+            if df and args.dtype != "float64":
+                print("error: --solver acg-df64 consumes a float64 DIA "
+                      "operator (drop --dtype float32)", file=sys.stderr)
+                raise SystemExit(1)
+            if not df and args.dtype != "float32":
+                print("error: --solver acg-fused requires --dtype float32 "
+                      "(Mosaic kernels are f32-only on TPU; use acg-df64 "
+                      "for f64-quality results)", file=sys.stderr)
+                raise SystemExit(1)
+            hw = max(1, int(np.abs(offsets).max()))
+            _halo_info["bytes"] = (2 * hw * (nparts - 1)
+                                   * np.dtype(args.dtype).itemsize)
+            return solve_dist_stencil(
+                offsets, vals, b, nparts=nparts, x0=x0, opt=opt,
+                method="pipelined-df64" if df else "pipelined-fused",
+                dtype=np.float64 if df else np.float32)
+        # general partition: distributed SELL (keep_lo slabs for df64)
+        dso = _get_dist_sell(keep_lo=df)
+        return solve_dist_general(
+            _get_pm(), b, x0=x0, opt=opt,
+            method="pipelined-df64" if df else "pipelined-fused",
+            operator="sell", sell_op=dso, halo=args.halo)
+
     def run_once():
         if args.solver in ("scipy", "petsc"):
             return solve_scipy(A.to_scipy_full(args.epsilon), b, x0, opt)
@@ -259,9 +352,7 @@ def main(argv=None) -> int:
             return solve_jax_ref(op, b, x0, opt)
         if args.solver == "acg-auto":
             if nparts > 1:
-                print("error: --solver acg-auto is single-device "
-                      "(use acg-pipelined with --nparts)", file=sys.stderr)
-                raise SystemExit(1)
+                return _run_dist_fast()
             from ..solvers.auto import solve_auto
             if dia is not None and args.format in ("auto", "dia"):
                 offsets, vals = dia
@@ -279,9 +370,7 @@ def main(argv=None) -> int:
             return solve_auto(op64, b, x0, opt, verbose=args.verbose > 0)
         if args.solver in ("acg-fused", "acg-df64"):
             if nparts > 1:
-                print(f"error: --solver {args.solver} is single-device "
-                      "(use acg-pipelined with --nparts)", file=sys.stderr)
-                raise SystemExit(1)
+                return _run_dist_fast()
             df = args.solver == "acg-df64"
             use_dia = dia is not None and args.format in ("auto", "dia")
             if args.format == "ell":
@@ -312,8 +401,7 @@ def main(argv=None) -> int:
             return solve(op, b, x0, opt, method)
         method = "pipelined" if "pipelined" in args.solver else "cg"
         if nparts > 1:
-            if dia is not None and args.partition is None \
-                    and args.partition_method == "contiguous":
+            if use_dia_stencil:
                 offsets, vals = dia
                 hw = max(1, int(np.abs(offsets).max()))
                 _halo_info["bytes"] = (2 * hw * (nparts - 1)
@@ -322,22 +410,6 @@ def main(argv=None) -> int:
                                           x0=x0, opt=opt, method=method,
                                           dtype=args.dtype,
                                           backend=args.backend)
-            with timer.phase("partition"):
-                if args.partition:
-                    part = read_partition(args.partition,
-                                          binary=args.binary_partition)
-                else:
-                    full = A.to_scipy_full(args.epsilon)
-                    part = make_partition(full.indptr, full.indices, nparts,
-                                          method=args.partition_method,
-                                          seed=args.seed)
-                pm = build_partitioned_matrix(A.to_scipy_full(args.epsilon), part)
-            if args.verbose >= 2:
-                print(pm.describe(), file=sys.stderr)
-            if args.output_comm_matrix:
-                _print_comm_matrix(pm.comm_matrix)
-            _halo_info["bytes"] = (int(pm.comm_matrix.sum())
-                                   * np.dtype(args.dtype).itemsize)
             # per-device operator: the chunked-gather SELL kernels are the
             # fast path (f32 storage); auto picks them whenever the dtype
             # allows, ell is the explicit slow gather fallback
@@ -349,13 +421,8 @@ def main(argv=None) -> int:
             operator = ("sell" if args.format == "sell"
                         or (args.format == "auto"
                             and args.dtype == "float32") else "ell")
-            if operator == "sell":
-                with timer.phase("format"):
-                    from ..parallel.dist_sell import build_dist_sell
-                    dso = build_dist_sell(pm)
-                log(args, f"distributed SELL layout: fill={dso.fill:.3f}")
-            else:
-                dso = None
+            pm = _get_pm()
+            dso = _get_dist_sell() if operator == "sell" else None
             return solve_dist_general(pm, b, x0=x0, opt=opt, method=method,
                                       dtype=args.dtype, halo=args.halo,
                                       operator=operator, sell_op=dso)

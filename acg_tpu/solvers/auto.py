@@ -103,13 +103,119 @@ def solve_auto(op64, b: np.ndarray, x0: np.ndarray | None = None,
     opt2 = dataclasses.replace(opt, max_iterations=iters_left)
     x2, info2 = solve(op64, b, x0=x1.astype(np.float64), opt=opt2,
                       method="pipelined-df64")
-    info = SolveInfo(
+    return x2, _merge_infos(info1, info2)
+
+
+def _merge_infos(info1: SolveInfo, info2: SolveInfo) -> SolveInfo:
+    """Two-stage SolveInfo: total iterations, stage-2 convergence state,
+    stage-1 initial quantities (residual at the ORIGINAL x0)."""
+    return SolveInfo(
         niterations=info1.niterations + info2.niterations,
         converged=info2.converged,
         bnrm2=info2.bnrm2,
-        r0nrm2=info1.r0nrm2,       # residual at the ORIGINAL x0
+        r0nrm2=info1.r0nrm2,
         rnrm2=info2.rnrm2,
         x0nrm2=info1.x0nrm2,
         dxnrm2=info2.dxnrm2,
     )
-    return x2, info
+
+
+def _stage1_opt(opt: CGOptions, bnrm: float,
+                escalate: bool) -> "CGOptions":
+    """Stage-1 (f32) options: tolerances clamped to the f32 floor when a
+    df64 stage will follow."""
+    import dataclasses
+    rtol1 = opt.residual_rtol if not escalate else \
+        max(opt.residual_rtol, F32_RTOL_FLOOR)
+    atol1 = opt.residual_atol if not escalate else \
+        max(opt.residual_atol, F32_RTOL_FLOOR * bnrm)
+    return dataclasses.replace(opt, residual_rtol=rtol1,
+                               residual_atol=atol1, dot_dtype="mixed")
+
+
+def solve_auto_dist(pm, b: np.ndarray, x0: np.ndarray | None = None,
+                    opt: CGOptions = CGOptions(), halo: str = "allgather",
+                    sell_op=None, devices=None, verbose: bool = False):
+    """Distributed precision auto-escalation over a general partition —
+    the reference's headline protocol (multi-device, rtol 1e-6,
+    scripts/mpi_combined.sh:57-58) at fast-path cost: an f32 SELL
+    pipelined-fused stage clamped to the f32 residual floor, then — only
+    if the requested tolerance demands it — a df64-SELL restart from the
+    gathered f32 iterate.  ONE keep_lo DistSellOperator serves both
+    stages (the f32 kernels simply ignore the lo slabs).
+
+    ``pm`` is a partition.graph.PartitionedMatrix; ``sell_op`` an
+    optional prebuilt parallel.dist_sell.build_dist_sell(pm,
+    keep_lo=...) operator (keep_lo required when the tolerance
+    escalates).  Returns (x (N,) float64 numpy, SolveInfo) with
+    ``niterations`` counting both stages."""
+    import dataclasses
+
+    from ..parallel.dist_sell import build_dist_sell
+    from .dist_cg import solve_dist_general
+
+    if opt.needs_diff:
+        raise ValueError("solve_auto_dist supports residual-based "
+                         "stopping criteria only")
+    bnrm = float(np.linalg.norm(np.asarray(b, dtype=np.float64)))
+    escalate = _needs_escalation(opt, bnrm)
+    dso = sell_op if sell_op is not None else \
+        build_dist_sell(pm, keep_lo=escalate)
+    if escalate and not dso.df64_ready:
+        raise ValueError(
+            "this tolerance escalates to df64: pass sell_op built with "
+            "build_dist_sell(pm, keep_lo=True)")
+
+    x1, info1 = solve_dist_general(
+        pm, b, x0=x0, opt=_stage1_opt(opt, bnrm, escalate),
+        method="pipelined-fused", operator="sell", sell_op=dso,
+        halo=halo, devices=devices)
+    if not escalate:
+        return x1.astype(np.float64), info1
+    if verbose:
+        print(f"auto: f32 stage {info1.niterations} iters, "
+              f"rnrm {info1.rnrm2:.3e}; escalating to df64")
+    iters_left = max(opt.max_iterations - info1.niterations, 1)
+    opt2 = dataclasses.replace(opt, max_iterations=iters_left)
+    x2, info2 = solve_dist_general(
+        pm, b, x0=x1.astype(np.float64), opt=opt2,
+        method="pipelined-df64", operator="sell", sell_op=dso,
+        halo=halo, devices=devices)
+    return x2, _merge_infos(info1, info2)
+
+
+def solve_auto_dist_stencil(offsets, vals: np.ndarray, b: np.ndarray,
+                            nparts: int | None = None,
+                            x0: np.ndarray | None = None,
+                            opt: CGOptions = CGOptions(),
+                            devices=None, verbose: bool = False):
+    """Distributed auto-escalation on a banded operator (contiguous
+    partition): f32 fused-ring stage + df64 fused restart, both under
+    the same mesh (solvers/dist_cg.solve_dist_stencil).  ``vals`` is
+    the float64 (K, N) DIA operand."""
+    import dataclasses
+
+    from .dist_cg import solve_dist_stencil
+
+    if opt.needs_diff:
+        raise ValueError("solve_auto_dist_stencil supports residual-based "
+                         "stopping criteria only")
+    vals = np.asarray(vals)
+    bnrm = float(np.linalg.norm(np.asarray(b, dtype=np.float64)))
+    escalate = _needs_escalation(opt, bnrm)
+    x1, info1 = solve_dist_stencil(
+        offsets, vals, b, nparts=nparts, x0=x0,
+        opt=_stage1_opt(opt, bnrm, escalate), method="pipelined-fused",
+        dtype=np.float32, devices=devices)
+    if not escalate:
+        return x1.astype(np.float64), info1
+    if verbose:
+        print(f"auto: f32 stage {info1.niterations} iters, "
+              f"rnrm {info1.rnrm2:.3e}; escalating to df64")
+    iters_left = max(opt.max_iterations - info1.niterations, 1)
+    opt2 = dataclasses.replace(opt, max_iterations=iters_left)
+    x2, info2 = solve_dist_stencil(
+        offsets, vals.astype(np.float64), b, nparts=nparts,
+        x0=x1.astype(np.float64), opt=opt2, method="pipelined-df64",
+        devices=devices)
+    return x2, _merge_infos(info1, info2)

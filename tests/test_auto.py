@@ -141,3 +141,72 @@ def test_auto_sell_requires_keep_lo(rng):
     with pytest.raises(ValueError, match="keep_lo"):
         solve(op, b, opt=CGOptions(max_iterations=10),
               method="pipelined-df64")
+
+
+# ---------------------------------------------------------------------------
+# Round 4: distributed auto-escalation (solve_auto_dist / _stencil) — the
+# reference's headline protocol is multi-device at rtol 1e-6
+# (scripts/mpi_combined.sh:57-58), exactly where escalation pays.
+
+
+def _dist_system(rng, n=16):
+    from acg_tpu.partition.graph import build_partitioned_matrix
+    from acg_tpu.partition.partitioner import partition_bfs_recursive
+    offsets, vals = poisson2d_dia(n)
+    ri, ci, a, N = dia_to_coo(offsets, vals)
+    A = sp.coo_matrix((a, (ri, ci)), shape=(N, N)).tocsr()
+    part = partition_bfs_recursive(A.indptr, A.indices, 8, seed=0)
+    pm = build_partitioned_matrix(A, part)
+    xstar = rng.standard_normal(N)
+    xstar /= np.linalg.norm(xstar)
+    return A, pm, xstar, A @ xstar, offsets, vals
+
+
+def test_auto_dist_escalates(rng):
+    from acg_tpu.solvers.auto import solve_auto_dist
+    A, pm, xstar, b, _, _ = _dist_system(rng)
+    opt = CGOptions(max_iterations=1000, residual_rtol=1e-8)
+    x, info = solve_auto_dist(pm, b, opt=opt)
+    assert info.converged
+    rnrm = np.linalg.norm(b - A @ x)
+    assert rnrm < 1e-8 * np.linalg.norm(b) * 2
+    assert np.linalg.norm(x - xstar) < 1e-5
+    # iteration parity with a pure-f64 distributed solve (warm restart
+    # may waste a few iterations rebuilding the Krylov space)
+    from acg_tpu.solvers.dist_cg import solve_dist_general
+    _, i64 = solve_dist_general(pm, b, opt=opt, method="pipelined")
+    assert info.niterations <= i64.niterations + 25
+
+
+def test_auto_dist_loose_stays_f32(rng):
+    from acg_tpu.solvers.auto import solve_auto_dist
+    A, pm, xstar, b, _, _ = _dist_system(rng)
+    opt = CGOptions(max_iterations=500, residual_rtol=1e-3)
+    x, info = solve_auto_dist(pm, b, opt=opt)
+    assert info.converged
+    assert x.dtype == np.float64
+    assert np.linalg.norm(x - xstar) < 1e-2
+
+
+def test_auto_dist_keep_lo_guard(rng):
+    """An escalating tolerance with a non-keep_lo prebuilt operator is
+    rejected up front instead of silently rounding the matrix to f32."""
+    from acg_tpu.parallel.dist_sell import build_dist_sell
+    from acg_tpu.solvers.auto import solve_auto_dist
+    A, pm, xstar, b, _, _ = _dist_system(rng)
+    dso = build_dist_sell(pm)    # not a keep_lo build: df64_ready=False
+    assert not dso.df64_ready
+    opt = CGOptions(max_iterations=10, residual_rtol=1e-8)
+    with pytest.raises(ValueError, match="keep_lo"):
+        solve_auto_dist(pm, b, opt=opt, sell_op=dso)
+
+
+def test_auto_dist_stencil_escalates(rng):
+    from acg_tpu.solvers.auto import solve_auto_dist_stencil
+    A, pm, xstar, b, offsets, vals = _dist_system(rng)
+    opt = CGOptions(max_iterations=1000, residual_rtol=1e-8)
+    x, info = solve_auto_dist_stencil(offsets, vals, b, nparts=8, opt=opt)
+    assert info.converged
+    rnrm = np.linalg.norm(b - A @ x)
+    assert rnrm < 1e-8 * np.linalg.norm(b) * 2
+    assert np.linalg.norm(x - xstar) < 1e-5

@@ -300,3 +300,58 @@ def test_sell_df64_and_auto_solvers(unstructured_file, tmp_path, solver,
     val = float(err.split("manufactured solution error 2-norm: ")[1]
                 .splitlines()[0])
     assert val < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# Round 4: distributed fast solvers reachable from the driver
+# (the reference dispatches every solver at every commsize,
+# acg-cuda.c:2241-2262; previously acg-fused/df64/auto errored at nparts>1)
+
+
+@pytest.mark.parametrize("solver,extra,rtol,errtol", [
+    # error tolerances: rtol 1e-6 bounds the RESIDUAL; the error norm
+    # carries the condition number (f32 recurrences for acg-fused)
+    ("acg-fused", ["--dtype", "float32"], "1e-6", 1e-3),
+    ("acg-df64", [], "1e-6", 1e-5),
+    ("acg-auto", [], "1e-6", 5e-5),
+])
+def test_distributed_fast_solver_general(matrix_file, tmp_path, capsys,
+                                         solver, extra, rtol, errtol):
+    """General (BFS) partition -> distributed SELL kernel paths."""
+    out = tmp_path / "x.mtx"
+    rc = cli_main.main([str(matrix_file), "--manufactured-solution",
+                        "--solver", solver, "--nparts", "8",
+                        "--partition-method", "bfs", "--format", "sell",
+                        "--max-iterations", "1000", "--residual-rtol", rtol,
+                        "--warmup", "0", "-o", str(out)] + extra)
+    assert rc == 0
+    val = float(capsys.readouterr().err.split(
+        "manufactured solution error 2-norm: ")[1].splitlines()[0])
+    assert val < errtol
+
+
+@pytest.mark.parametrize("solver,extra", [
+    ("acg-fused", ["--dtype", "float32"]),
+    ("acg-df64", []),
+    ("acg-auto", []),
+])
+def test_distributed_fast_solver_stencil(matrix_file, tmp_path, capsys,
+                                         solver, extra):
+    """DIA + contiguous partition -> the two-ppermute stencil fast path."""
+    out = tmp_path / "x.mtx"
+    rc = cli_main.main([str(matrix_file), "--manufactured-solution",
+                        "--solver", solver, "--nparts", "4",
+                        "--max-iterations", "1000", "--residual-rtol", "1e-6",
+                        "--warmup", "0", "-o", str(out)] + extra)
+    assert rc == 0
+    val = float(capsys.readouterr().err.split(
+        "manufactured solution error 2-norm: ")[1].splitlines()[0])
+    assert val < 1e-4
+
+
+def test_distributed_fast_rejects_ell(matrix_file, capsys):
+    with pytest.raises(SystemExit):
+        cli_main.main([str(matrix_file), "--manufactured-solution",
+                       "--solver", "acg-df64", "--nparts", "4",
+                       "--format", "ell", "--warmup", "0"])
+    assert "DIA or SELL" in capsys.readouterr().err
