@@ -119,6 +119,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "runs beyond R go to a compacted tail operator "
                         "(higher fill on heavy-tailed matrices; 8 is a "
                         "good value); 0 = off [0]")
+    g.add_argument("--sell-heavy", action="store_true",
+                   help="split heavy-but-local rows into the dense "
+                        "run-tail operator (core/heavy.py) when any "
+                        "qualify; recovers the mesh-only SELL fill on "
+                        "matrices with interleaved constraint/arrow rows")
     g = p.add_argument_group("communication options")
     g.add_argument("--comm", default="none",
                    choices=("none", "xla", "mpi", "nccl", "nvshmem"),
@@ -261,8 +266,11 @@ def main(argv=None) -> int:
 
     _dist_cache = {}   # partition + layouts built once across warmup solves
 
-    def _get_pm():
-        if "pm" not in _dist_cache:
+    def _get_pm(local_order: str = "none"):
+        # SELL consumers pass "cluster": the per-part BFS-ball local
+        # order lifts the chunked-gather fill (partition/graph.py)
+        key = ("pm", local_order)
+        if key not in _dist_cache:
             with timer.phase("partition"):
                 if args.partition:
                     part = read_partition(args.partition,
@@ -273,22 +281,23 @@ def main(argv=None) -> int:
                                           method=args.partition_method,
                                           seed=args.seed)
                 pm = build_partitioned_matrix(
-                    A.to_scipy_full(args.epsilon), part)
+                    A.to_scipy_full(args.epsilon), part,
+                    local_order=local_order)
             if args.verbose >= 2:
                 print(pm.describe(), file=sys.stderr)
             if args.output_comm_matrix:
                 _print_comm_matrix(pm.comm_matrix)
             _halo_info["bytes"] = (int(pm.comm_matrix.sum())
                                    * np.dtype(args.dtype).itemsize)
-            _dist_cache["pm"] = pm
-        return _dist_cache["pm"]
+            _dist_cache[key] = pm
+        return _dist_cache[key]
 
     def _get_dist_sell(keep_lo: bool = False):
         key = ("dso", keep_lo)
         if key not in _dist_cache:
             with timer.phase("format"):
                 from ..parallel.dist_sell import build_dist_sell
-                _dist_cache[key] = build_dist_sell(_get_pm(),
+                _dist_cache[key] = build_dist_sell(_get_pm("cluster"),
                                                    keep_lo=keep_lo)
             log(args, "distributed SELL layout: "
                       f"fill={_dist_cache[key].fill:.3f}")
@@ -316,7 +325,7 @@ def main(argv=None) -> int:
                                                verbose=args.verbose > 0)
             bnrm = float(np.linalg.norm(np.asarray(b, np.float64)))
             dso = _get_dist_sell(keep_lo=_needs_escalation(opt, bnrm))
-            return solve_auto_dist(_get_pm(), b, x0=x0, opt=opt,
+            return solve_auto_dist(_get_pm("cluster"), b, x0=x0, opt=opt,
                                    halo=args.halo, sell_op=dso,
                                    verbose=args.verbose > 0)
         if use_dia_stencil:
@@ -340,7 +349,7 @@ def main(argv=None) -> int:
         # general partition: distributed SELL (keep_lo slabs for df64)
         dso = _get_dist_sell(keep_lo=df)
         return solve_dist_general(
-            _get_pm(), b, x0=x0, opt=opt,
+            _get_pm("cluster"), b, x0=x0, opt=opt,
             method="pipelined-df64" if df else "pipelined-fused",
             operator="sell", sell_op=dso, halo=args.halo)
 
@@ -364,9 +373,17 @@ def main(argv=None) -> int:
                 # f32 stage and the df64 restart
                 op64 = _make_op(keep_lo=True, force_f32=True)
                 if not hasattr(op64, "spmv_df64"):
-                    print("error: --solver acg-auto needs the DIA or SELL "
-                          "format", file=sys.stderr)
-                    raise SystemExit(1)
+                    if args.format == "ell":
+                        print("error: --solver acg-auto needs the DIA or "
+                              "SELL format", file=sys.stderr)
+                        raise SystemExit(1)
+                    # the SELL build fell back to gather-ELL (scatter
+                    # regime): escalation has nothing to escalate to —
+                    # solve in plain f64, the reference's own semantics
+                    print("note: auto-escalation unavailable on the ELL "
+                          "fallback; solving in f64 (pipelined)",
+                          file=sys.stderr)
+                    return solve(_make_op(), b, x0, opt, "pipelined")
             return solve_auto(op64, b, x0, opt, verbose=args.verbose > 0)
         if args.solver in ("acg-fused", "acg-df64"):
             if nparts > 1:
@@ -397,6 +414,12 @@ def main(argv=None) -> int:
                 # the keep_lo rounding-residual slabs, so --dtype float64
                 # is already honored by the pair — no dtype restriction
                 op = _make_op(keep_lo=df, force_f32=True)
+                if df and not hasattr(op, "spmv_df64"):
+                    # scatter-regime ELL fallback has no df64 kernel;
+                    # plain-f64 pipelined delivers the same semantics
+                    print("note: acg-df64 unavailable on the ELL fallback; "
+                          "solving in f64 (pipelined)", file=sys.stderr)
+                    return solve(_make_op(), b, x0, opt, "pipelined")
             method = "pipelined-fused" if not df else "pipelined-df64"
             return solve(op, b, x0, opt, method)
         method = "pipelined" if "pipelined" in args.solver else "cg"
@@ -421,7 +444,7 @@ def main(argv=None) -> int:
             operator = ("sell" if args.format == "sell"
                         or (args.format == "auto"
                             and args.dtype == "float32") else "ell")
-            pm = _get_pm()
+            pm = _get_pm("cluster" if operator == "sell" else "none")
             dso = _get_dist_sell() if operator == "sell" else None
             return solve_dist_general(pm, b, x0=x0, opt=opt, method=method,
                                       dtype=args.dtype, halo=args.halo,
@@ -452,11 +475,25 @@ def main(argv=None) -> int:
                 # adds the df64 rounding-residual slabs; --sell-cap splits
                 # heavy (row, chunk) tails for fill)
                 from ..core.sell import sell_from_csr
-                _op_cache[key] = sell_from_csr(
-                    A.to_scipy_full(args.epsilon), dtype=dtype,
-                    cap=args.sell_cap, keep_lo=keep_lo)
-                log(args, f"SELL layout: S={_op_cache[key].S} slots, "
-                          f"fill={_op_cache[key].fill:.3f}")
+                try:
+                    _op_cache[key] = sell_from_csr(
+                        A.to_scipy_full(args.epsilon), dtype=dtype,
+                        cap=args.sell_cap, keep_lo=keep_lo,
+                        heavy=args.sell_heavy)
+                    log(args, f"SELL layout: S={_op_cache[key].S} slots, "
+                              f"fill={_op_cache[key].fill:.3f}")
+                except MemoryError as e:
+                    # scatter-regime fail-fast (no column locality — the
+                    # chunked-gather layout is infeasible by measurement,
+                    # BENCHMARKS.md): route to the gather-ELL operator,
+                    # which like the reference's merge kernel runs ANY
+                    # CSR (cg-kernels-cuda.cu:312-441), just slowly
+                    print(f"note: SELL layout infeasible ({e}); falling "
+                          "back to the gather-ELL operator",
+                          file=sys.stderr)
+                    ci, v = A.to_ell_arrays(epsilon=args.epsilon)
+                    _op_cache[key] = EllOperator.from_arrays(ci, v,
+                                                             dtype=dtype)
         return _op_cache[key]
 
     def _print_comm_matrix(cm):

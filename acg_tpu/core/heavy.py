@@ -96,6 +96,11 @@ class HeavySplitOperator:
         return self.main.nnz + self.tvals.size
 
     @property
+    def S(self) -> int:
+        """Average stored slots per row (rounded up)."""
+        return -(-self.nnz // self.Np)
+
+    @property
     def fill(self) -> float:
         return self.nnz_true / max(self.nnz, 1)
 

@@ -112,11 +112,20 @@ def _scatter_slabs(fr, rho, val, lane, rows2: int):
 # must fit the 16M VMEM; 3M rows of f32 is 12M bytes
 MAX_VMEM_ROWS = 3_000_000
 
+# kernel working-set budget (bytes) the builders/SpMVs guard against —
+# VMEM is 16 MB; 14 MB leaves headroom for Mosaic's own scratch
+VMEM_BYTES = 14 * 1024 * 1024
+
 # column-panel width for matrices whose x outgrows the VMEM budget: 2^21
 # f32 elements = 8 MB of x, leaving ~6 MB for the double-buffered slabs
 # (G_b up to ~192 groups/tile) — vs 3M-wide panels which would squeeze
 # the slab budget to 2 MB
 PANEL_COLS = 2_097_152
+
+# df64 (keep_lo) panels hold TWO resident x buffers (hi, lo) and double
+# the slab traffic (hi + lo vals), so they are half as wide: 2^20 f32
+# elements = 8 MB for the pair, ~5 MB for the double-buffered slab pairs
+PANEL_COLS_DF64 = 1_048_576
 
 # tiles are sorted by group count into this many buckets, each padded to
 # its own G_b (instead of the global max — measured 44% wasted slots)
@@ -155,9 +164,10 @@ def optimal_buckets(G_of_tile: np.ndarray, sort_order: np.ndarray,
     candidate boundaries compress to the distinct round-8 value ends —
     a tiny DP regardless of ntiles.  Boundaries are rounded down to
     BLOCK_TILES multiples (displaced tiles land in the next — larger-G —
-    bucket, which is always valid).  Single-chip only: the distributed
-    operator keeps default_buckets, a pure function of ntiles, so
-    per-part shapes stay SPMD-uniform.
+    bucket, which is always valid).  The distributed builder runs this
+    DP once on the ELEMENTWISE-MAX of the parts' sorted G histograms
+    (parallel/dist_sell._common_layout), so per-part shapes stay
+    SPMD-uniform while keeping the value-aware padding.
     """
     T = len(sort_order)
     g8 = np.maximum(G_of_tile[sort_order].astype(np.int64), 1)
@@ -483,7 +493,7 @@ class SellOperator:
         # blocks + x
         vmem = (2 * max(G_b) * BLOCK_TILES * 1024 * (isz + 1)
                 + _round_up(max(ncols, 1), 1024) * isz)
-        if vmem > 14 * 1024 * 1024:
+        if vmem > VMEM_BYTES:
             raise MemoryError(
                 f"SELL kernel working set {vmem / 1e6:.1f} MB exceeds VMEM "
                 f"(G={max(G_b)} slot groups/tile, ncols={ncols:,}); the "
@@ -545,7 +555,7 @@ class SellOperator:
         nslab = 2 if self.vals_lo is not None else 1
         vmem = (2 * self.G * BLOCK_TILES * 1024 * (4 * nslab + 1)
                 + 2 * Nx * 4)
-        if vmem > 14 * 1024 * 1024:
+        if vmem > VMEM_BYTES:
             raise MemoryError(
                 f"df64 SELL kernel working set {vmem / 1e6:.1f} MB exceeds "
                 f"VMEM (G={self.G}, ncols={self.ncols:,}); partition the "
@@ -636,6 +646,21 @@ class PaneledSellOperator:
     def fill(self) -> float:
         return self.nnz_true / max(self.nnz, 1)
 
+    @property
+    def vals_lo(self):
+        """None iff every panel is f32-exact (solve() reads this to
+        specialize the df64 kernels)."""
+        for p in self.panels:
+            if p.vals_lo is not None:
+                return p.vals_lo
+        return None
+
+    @property
+    def df64_ready(self) -> bool:
+        """True when built with sell_from_csr(keep_lo=True): every panel
+        carries its lo residual slabs (or proved itself f32-exact)."""
+        return bool(self.panels) and all(p.df64_ready for p in self.panels)
+
     def spmv(self, x: jnp.ndarray) -> jnp.ndarray:
         """y = Σ panels.  Panel boundaries and tile subsets are static,
         so the x slices trace to free views; each panel's sub-SpMV runs
@@ -649,6 +674,27 @@ class PaneledSellOperator:
             yp = yp.reshape(-1, 128)[:tiles.shape[0]]
             y2 = y2.at[tiles].add(yp, unique_indices=True)
         return y2.reshape(-1)
+
+    def spmv_df64(self, xh: jnp.ndarray, xl: jnp.ndarray):
+        """(yh, yl) ≈ A @ (xh + xl) to df64 accuracy at any width — the
+        f64-parity SpMV the reference computes natively at any size
+        (cg-kernels-cuda.cu:358-441 has no N cap).  Panel contributions
+        accumulate with an error-free df_add on the panel's own tiles
+        (gather → df_add → unique-index set), so the cross-panel sum
+        keeps the full (hi, lo) accuracy."""
+        from ..ops import df64 as _df
+        yh = jnp.zeros((self.ntiles, 128), jnp.float32)
+        yl = jnp.zeros((self.ntiles, 128), jnp.float32)
+        for op, tiles, s in zip(self.panels, self.panel_tiles,
+                                self.col_starts):
+            th, tl = op.spmv_df64(xh[s:s + op.ncols], xl[s:s + op.ncols])
+            k = tiles.shape[0]
+            th = th.reshape(-1, 128)[:k]
+            tl = tl.reshape(-1, 128)[:k]
+            nh, nl = _df.df_add(yh[tiles], yl[tiles], th, tl)
+            yh = yh.at[tiles].set(nh, unique_indices=True)
+            yl = yl.at[tiles].set(nl, unique_indices=True)
+        return yh.reshape(-1), yl.reshape(-1)
 
     def flops_per_spmv(self) -> int:
         return 2 * self.nnz_true
@@ -818,16 +864,29 @@ class CappedSellOperator:
 
 def sell_from_csr(A, dtype=np.float32,
                   max_stored_bytes: int = 13 * 1024**3,
-                  cap: int = 0, keep_lo: bool = False):
+                  cap: int = 0, keep_lo: bool = False,
+                  heavy: bool = False):
     """Build the chunked-gather operator for a CSR matrix of ANY width:
     a plain SellOperator when x fits VMEM (CappedSellOperator with
     ``cap`` > 0 — the fill lever), a PaneledSellOperator above that
     (scipy's contiguous column slicing and tile-row extraction are
     single C passes per panel).  ``keep_lo`` builds the df64 residual
-    slabs (single-panel only)."""
+    slabs at any width (paneled keep_lo uses half-width panels so the
+    (xh, xl) pair stays within the VMEM budget).  ``heavy`` splits
+    heavy-but-LOCAL rows into the dense run-tail operator (core/heavy.py)
+    when any qualify — the auto gate IS the detection: a uniform mesh
+    has no qualifying rows and builds the plain layout unchanged."""
     A = A.tocsr()
     N, ncols = A.shape
     if ncols <= MAX_VMEM_ROWS:
+        if heavy and not cap and not keep_lo \
+                and np.dtype(dtype) == np.float32:
+            from .heavy import HeavySplitOperator
+            try:
+                return HeavySplitOperator.from_csr(
+                    A, dtype=dtype, max_stored_bytes=max_stored_bytes)
+            except ValueError:
+                pass   # no heavy-local rows: plain layout
         if cap:
             return CappedSellOperator.from_csr(
                 A, cap=cap, dtype=dtype,
@@ -835,18 +894,20 @@ def sell_from_csr(A, dtype=np.float32,
         return SellOperator.from_csr(A, dtype=dtype,
                                      max_stored_bytes=max_stored_bytes,
                                      keep_lo=keep_lo)
-    if cap or keep_lo:
+    if cap:
         raise NotImplementedError(
-            "cap/keep_lo are not implemented for column-paneled operators "
+            "cap is not implemented for column-paneled operators "
             f"(ncols={ncols:,} > {MAX_VMEM_ROWS:,}); partition the matrix "
-            "across devices for the capped/df64 paths")
+            "across devices for the capped path")
     import scipy.sparse as sp
     Np = _round_up(max(N, 1), 128)
     # pad rows to the tile multiple once so tile slicing is exact
     indptr = np.concatenate(
         [A.indptr, np.full(Np - N, A.indptr[-1], A.indptr.dtype)])
     Ar = sp.csr_matrix((A.data, A.indices, indptr), shape=(Np, ncols))
-    npanels = -(-ncols // PANEL_COLS)
+    # keep_lo panels hold an (xh, xl) pair resident → half the width
+    panel_cols = PANEL_COLS_DF64 if keep_lo else PANEL_COLS
+    npanels = -(-ncols // panel_cols)
     width = _round_up(-(-ncols // npanels), 1024)
     panels, tiles_l, starts = [], [], []
     budget = max_stored_bytes
@@ -860,8 +921,9 @@ def sell_from_csr(A, dtype=np.float32,
         rows = (tiles.astype(np.int64)[:, None] * 128
                 + np.arange(128)).ravel()
         p = SellOperator.from_csr(Ac[rows], dtype=dtype,
-                                  max_stored_bytes=budget)
-        budget -= p.nnz * (np.dtype(dtype).itemsize + 4)
+                                  max_stored_bytes=budget, keep_lo=keep_lo)
+        lo_b = 4 if (keep_lo and p.vals_lo is not None) else 0
+        budget -= p.nnz * (np.dtype(dtype).itemsize + 4 + lo_b)
         panels.append(p)
         tiles_l.append(jnp.asarray(tiles))
         starts.append(s)

@@ -105,11 +105,21 @@ class PartitionedMatrix:
 
 
 def build_partitioned_matrix(A_full: sp.csr_matrix, part: np.ndarray,
-                             pad_to: int = 8) -> PartitionedMatrix:
+                             pad_to: int = 8,
+                             local_order: str = "none") -> PartitionedMatrix:
     """Partition a full-storage symmetric CSR matrix by rows.
 
     ``part`` is the (N,) partition vector (from partitioner.py or a
     reference-format partition file).
+
+    ``local_order="cluster"`` reorders each part's owned rows by a
+    BFS-ball cluster order of the part's own subgraph (ordering.py)
+    instead of ascending global id.  The local order is a free choice —
+    every downstream consumer goes through rows_global/global_to_local —
+    and the chunked-gather SELL layout is ordering-sensitive: 128-row
+    tiles of a clustered local order share column chunks (measured
+    single-chip fill 0.102 -> 0.121); ascending-global order inside a
+    METIS-style part scatters tile neighbourhoods.
 
     Fully vectorized: every step is an O(nnz) numpy sort / prefix-sum /
     scatter — the same sort-based construction the reference implements
@@ -173,6 +183,20 @@ def build_partitioned_matrix(A_full: sp.csr_matrix, part: np.ndarray,
     n_bor = np.bincount(part[is_border], minlength=P)
     n_int = n_owned - n_bor
     starts = np.concatenate([[0], np.cumsum(n_owned)])
+    if local_order == "cluster":
+        from .ordering import cluster_order
+        order = order.copy()
+        for p in range(P):
+            s0, e0 = int(starts[p]), int(starts[p + 1])
+            rows_p = order[s0:e0]
+            if len(rows_p) >= 256:   # below one ball the order is moot
+                sub = A[rows_p][:, rows_p].tocsr()
+                perm = cluster_order(sub.indptr.astype(np.int64),
+                                     sub.indices.astype(np.int64))
+                order[s0:e0] = rows_p[perm]
+        _mark("local cluster order")
+    elif local_order != "none":
+        raise ValueError(f"unknown local_order {local_order!r}")
     L = _round_up(int(n_owned.max()), pad_to)
     rows_global = np.full((P, L), -1, dtype=np.int64)
     loc = np.arange(N, dtype=np.int64) - starts[part[order]]

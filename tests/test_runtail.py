@@ -110,3 +110,33 @@ def test_no_heavy_rows_raises(rng):
     A = sp.diags([np.ones(512)], [0]).tocsr()
     with pytest.raises(ValueError):
         HeavySplitOperator.from_csr(A)
+
+
+def test_sell_from_csr_heavy_gate(rng):
+    """sell_from_csr(heavy=True) splits iff heavy-local rows exist."""
+    import scipy.sparse as sp
+
+    from acg_tpu.core.heavy import HeavySplitOperator
+    from acg_tpu.core.sell import SellOperator, sell_from_csr
+
+    N = 1500
+    mesh = sp.diags([np.full(N, 4.0), np.full(N - 1, -1.0),
+                     np.full(N - 1, -1.0)], [0, -1, 1]).tocsr()
+    # uniform mesh: no qualifying rows -> plain layout unchanged
+    assert isinstance(sell_from_csr(mesh, heavy=True), SellOperator)
+    # interleave two heavy local rows -> split
+    A = mesh.tolil()
+    for r in (100, 700):
+        cols = np.arange(r, min(r + 600, N))
+        A[r, cols] = 0.01
+        A[cols, r] = 0.01
+        A[r, r] = 50.0
+    A = sp.csr_matrix(A)
+    op = sell_from_csr(A, heavy=True)
+    assert isinstance(op, HeavySplitOperator)
+    # correctness through the generic entry point
+    import jax.numpy as jnp
+    x = rng.standard_normal(op.Np).astype(np.float32)
+    y = np.asarray(op.spmv(jnp.asarray(x)))[:N]
+    ref = A @ x[:N].astype(np.float64)
+    assert np.linalg.norm(y - ref) / np.linalg.norm(ref) < 1e-5

@@ -116,3 +116,89 @@ def test_paneled_slot_total_close_to_unpaneled(small_panels, rng):
     finally:
         sell_mod.MAX_VMEM_ROWS = sell_mod_max
     assert op_p.nnz <= 2 * op_u.nnz
+
+
+# ---------------------------------------------------------------------------
+# Round 4: keep_lo / df64 for paneled operators — the single-chip
+# f64-parity path at Config-5 size (the reference computes f64 end-to-end
+# at any size by default, acg-cuda.c:489-530)
+
+
+@pytest.fixture
+def small_panels_df(monkeypatch):
+    monkeypatch.setattr(sell_mod, "MAX_VMEM_ROWS", 1024)
+    monkeypatch.setattr(sell_mod, "PANEL_COLS", 1024)
+    monkeypatch.setattr(sell_mod, "PANEL_COLS_DF64", 512)
+
+
+def test_paneled_keep_lo_spmv_df64(small_panels_df, rng):
+    """Paneled df64 SpMV reproduces the f64 product on a matrix whose
+    entries are NOT f32-exact (lo slabs carry real residuals)."""
+    A = random_spd(3000, 6, rng)
+    A.data *= np.pi              # not f32-representable
+    op = sell_from_csr(A, keep_lo=True)
+    assert isinstance(op, PaneledSellOperator)
+    assert op.df64_ready and op.vals_lo is not None
+    x = rng.standard_normal(A.shape[0])
+    xh = x.astype(np.float32)
+    xl = (x - xh.astype(np.float64)).astype(np.float32)
+    Np = op.Np
+    pad = lambda v: jnp.zeros((Np,), jnp.float32).at[:len(v)].set(
+        jnp.asarray(v))
+    yh, yl = op.spmv_df64(pad(xh), pad(xl))
+    y = np.asarray(yh, np.float64)[:op.N] + np.asarray(yl, np.float64)[:op.N]
+    ref = A @ x
+    rel = np.linalg.norm(y - ref) / np.linalg.norm(ref)
+    # df64 SpMV accuracy ~2^-48; f32 alone would be ~1e-7
+    assert rel < 1e-12, rel
+
+
+def test_paneled_keep_lo_exact_matrix(small_panels_df, rng):
+    """f32-exact entries: no lo slabs, still df64_ready."""
+    A = random_spd(2000, 5, rng)
+    A.data = A.data.astype(np.float32).astype(np.float64)
+    op = sell_from_csr(A, keep_lo=True)
+    assert isinstance(op, PaneledSellOperator)
+    assert op.df64_ready and op.vals_lo is None
+
+
+def test_paneled_df64_solve(small_panels_df, rng):
+    """pipelined-df64 end-to-end on a paneled operator (solve() accepts
+    it: spmv_df64 + df64_ready)."""
+    A = random_spd(2500, 5, rng)
+    A.data *= np.pi
+    op = sell_from_csr(A, keep_lo=True)
+    assert isinstance(op, PaneledSellOperator)
+    xstar = rng.standard_normal(A.shape[0])
+    xstar /= np.linalg.norm(xstar)
+    b = A @ xstar
+    # rtol 1e-6 is the reference protocol tolerance (mpi_combined.sh:57);
+    # CPU-jit weakens the EFTs (CLAUDE.md) so the CPU test stops here —
+    # the TPU validation runs tighter
+    opt = CGOptions(max_iterations=2000, residual_rtol=1e-6)
+    x, info = solve(op, b, opt=opt, method="pipelined-df64")
+    assert info.converged
+    assert np.linalg.norm(b - A @ x) < 2e-6 * np.linalg.norm(b)
+
+
+def test_paneled_auto_escalation(small_panels_df, rng):
+    """solve_auto on a paneled keep_lo operator: one operator serves the
+    f32 stage and the df64 restart (the Config-5 single-chip protocol)."""
+    from acg_tpu.solvers.auto import solve_auto
+    A = random_spd(2500, 5, rng)
+    A.data *= np.pi
+    op = sell_from_csr(A, keep_lo=True)
+    assert isinstance(op, PaneledSellOperator)
+    xstar = rng.standard_normal(A.shape[0])
+    xstar /= np.linalg.norm(xstar)
+    b = A @ xstar
+    opt = CGOptions(max_iterations=2000, residual_rtol=1e-6)
+    x, info = solve_auto(op, b, opt=opt)
+    assert info.converged
+    assert np.linalg.norm(b - A @ x) < 2e-6 * np.linalg.norm(b)
+
+
+def test_paneled_cap_still_rejected(small_panels_df, rng):
+    A = random_spd(3000, 5, rng)
+    with pytest.raises(NotImplementedError, match="cap"):
+        sell_from_csr(A, cap=8)
