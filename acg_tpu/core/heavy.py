@@ -1,4 +1,4 @@
-"""Heavy-row split operator: SELL main block + dense run-tail.
+"""Heavy-segment split operator: SELL main block + dense run-tail.
 
 The load-balance capability the reference's merge-based CSR kernel has
 by construction (cg-kernels-cuda.cu:312-441, perfect nnz split across
@@ -11,17 +11,25 @@ runs interleaved into a 600k-row mesh drop the SELL layout from fill
 tail is scatter-regime after compaction (every row's window differs, so
 G explodes past VMEM; see the cap-and-tail section).
 
-Split instead by ROW, with a format per regime:
+Split by contiguous column SEGMENT, not by whole row: a heavy row in
+the wild is its mesh entries (near the diagonal) PLUS a dense run
+somewhere else (the arrow/constraint pattern — exactly the ACG_HEAVY=2
+generator), so a whole-row locality test never fires.  Per candidate
+row, a greedy left-to-right scan finds maximal column stretches that
+fit one WSUB*1024 window with >= threshold entries:
 
-  * rows whose (row-nnz, column span) mark them heavy-but-LOCAL move to
-    a dense run-tail (ops/pallas_runtail.py): per-row WSUB*1024-element
-    value windows, x windows DMA'd at dynamic aligned offsets — zero
-    slot padding, pure streaming;
-  * everything else stays in the normal SELL main block, whose layout
-    recovers its mesh-only fill.
+  * each detected segment becomes one dense run-tail slot
+    (ops/pallas_runtail.py): a WSUB*1024-element value window, the x
+    window DMA'd at a dynamic aligned offset — zero slot padding, pure
+    streaming;
+  * the row's REMAINING entries (the mesh part) stay in the SELL main
+    block, whose layout recovers its mesh-only fill.
 
-y = main.spmv(x) + scatter_add(rows, runtail(x)).  Zero-padding
-invariant: padded tail rows carry zero values and base 0, so no masks.
+y = main.spmv(x) + scatter_add(seg_rows, runtail(x)); a row may own
+several segments, so the scatter-add makes no uniqueness promise.
+Zero-padding invariant: padded tail slots carry zero values and base 0,
+and their outputs are forced to zero before the scatter (a NaN in a pad
+window must not leak into y's padded region).
 """
 
 from __future__ import annotations
@@ -35,33 +43,60 @@ import numpy as np
 from ..ops.pallas_runtail import R, WSUB, runtail_spmv
 from .sell import SellOperator, _round_up
 
-SPAN_LIMIT = (WSUB - 1) * 1024   # worst-case in-window span (off < 1024)
+# worst-case span a segment may cover and still fit one WSUB-subrow
+# window at any 1024-alignment (base = start // 1024 -> offset < 1024)
+SPAN_LIMIT = (WSUB - 1) * 1024
 
 
-def heavy_rows(A, threshold: int | None = None) -> np.ndarray:
-    """Row ids that qualify for the run-tail: nnz ≥ threshold (default
-    8× the mean row nnz, min 256) AND column span small enough that the
-    row fits one WSUB-subrow window at any 1024-alignment."""
+def heavy_segments(A, threshold: int | None = None):
+    """Detect dense window segments: per candidate row (nnz >= the
+    threshold), maximal contiguous column stretches spanning less than
+    SPAN_LIMIT with >= threshold entries.
+
+    Returns (seg_row, seg_lo, seg_hi): global row id and [lo, hi) entry
+    ranges into the CSR arrays, sorted by row.  Safe on unsorted-index
+    input (sorts a copy)."""
     A = A.tocsr()
-    if not A.has_sorted_indices:   # public helper: don't trust the caller
+    if not A.has_sorted_indices:
         A = A.copy()
         A.sort_indices()
     counts = np.diff(A.indptr)
     if threshold is None:
         threshold = max(256, int(8 * counts.mean()) if len(counts) else 0)
     cand = np.nonzero(counts >= threshold)[0]
-    keep = []
+    seg_row, seg_lo, seg_hi = [], [], []
     for r in cand:
-        cols = A.indices[A.indptr[r]:A.indptr[r + 1]]
-        if cols[-1] - cols[0] < SPAN_LIMIT:   # sorted indices
-            keep.append(r)
-    return np.asarray(keep, dtype=np.int64)
+        lo, hi = int(A.indptr[r]), int(A.indptr[r + 1])
+        cols = A.indices[lo:hi]
+        i = 0
+        n = hi - lo
+        while i < n:
+            # widest window starting at entry i (cols sorted)
+            j = int(np.searchsorted(cols, cols[i] + SPAN_LIMIT))
+            if j - i >= threshold:
+                seg_row.append(r)
+                seg_lo.append(lo + i)
+                seg_hi.append(lo + j)
+                i = j
+            else:
+                i += 1
+    return (np.asarray(seg_row, dtype=np.int64),
+            np.asarray(seg_lo, dtype=np.int64),
+            np.asarray(seg_hi, dtype=np.int64))
+
+
+def heavy_rows(A, threshold: int | None = None) -> np.ndarray:
+    """Row ids owning at least one dense window segment (see
+    heavy_segments) — the detection gate sell_from_csr(heavy=True)
+    uses."""
+    seg_row, _, _ = heavy_segments(A, threshold)
+    return np.unique(seg_row)
 
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class HeavySplitOperator:
-    """SELL main block (heavy rows removed) + dense run-tail."""
+    """SELL main block (heavy segments removed) + dense run-tail."""
 
     main: SellOperator
     tvals: jnp.ndarray       # (nsteps, R, WSUB, 8, 128) f32
@@ -107,11 +142,12 @@ class HeavySplitOperator:
     @classmethod
     def from_csr(cls, A, dtype=np.float32, threshold: int | None = None,
                  max_stored_bytes: int = 13 * 1024**3):
-        """Split a scipy CSR matrix by row regime and build both parts.
+        """Split a scipy CSR matrix by segment regime and build both
+        parts.
 
-        Raises ValueError when no row qualifies — callers should use the
-        plain builder then (the split only pays when heavy-local rows
-        exist; uniform meshes measured NEGATIVE for splitting,
+        Raises ValueError when no segment qualifies — callers should use
+        the plain builder then (the split only pays when dense window
+        segments exist; uniform meshes measured NEGATIVE for splitting,
         BENCHMARKS.md cap-and-tail)."""
         if np.dtype(dtype) != np.float32:
             raise NotImplementedError(
@@ -122,34 +158,35 @@ class HeavySplitOperator:
             A = A.copy()
             A.sort_indices()
         N, ncols = A.shape
-        rows = heavy_rows(A, threshold)
-        if len(rows) == 0:
-            raise ValueError("no heavy-local rows; use sell_from_csr")
+        seg_row, seg_lo, seg_hi = heavy_segments(A, threshold)
+        nseg = len(seg_row)
+        if nseg == 0:
+            raise ValueError("no dense window segments; use sell_from_csr")
 
-        ntail = len(rows)
-        nsteps = -(-ntail // R)
+        nsteps = -(-nseg // R)
         W = WSUB * 1024
         tvals = np.zeros((nsteps * R, W), np.float32)
         tbase = np.zeros((nsteps * R,), np.int32)
-        trows = np.full((nsteps * R,), N, np.int32)   # pad rows → slot N
-        for i, r in enumerate(rows):
-            lo, hi = A.indptr[r], A.indptr[r + 1]
+        trows = np.full((nsteps * R,), N, np.int32)   # pad slots → row N
+        tail_mask = np.zeros(A.nnz, dtype=bool)
+        for i in range(nseg):
+            lo, hi = seg_lo[i], seg_hi[i]
             cols = A.indices[lo:hi]
-            start = int(cols[0])
-            base = start // 1024
+            base = int(cols[0]) // 1024
             off = cols - base * 1024
             tvals[i, off] = A.data[lo:hi]
             tbase[i] = base
-            trows[i] = r
+            trows[i] = seg_row[i]
+            tail_mask[lo:hi] = True
 
-        # main block: same row/column space, heavy rows emptied
-        keep = np.ones(N, bool)
-        keep[rows] = False
-        counts = np.where(keep, np.diff(A.indptr), 0)
+        # main block: same row/column space, segment entries removed
+        keep = ~tail_mask
+        rowlen = np.diff(A.indptr)
+        row_of = np.repeat(np.arange(N, dtype=np.int64), rowlen)
+        counts = np.bincount(row_of[keep], minlength=N)
         indptr = np.zeros(N + 1, A.indptr.dtype)
         np.cumsum(counts, out=indptr[1:])
-        mask = np.repeat(keep, np.diff(A.indptr))
-        Am = sp.csr_matrix((A.data[mask], A.indices[mask], indptr),
+        Am = sp.csr_matrix((A.data[keep], A.indices[keep], indptr),
                            shape=A.shape)
         main = SellOperator.from_csr(Am, dtype=dtype,
                                      max_stored_bytes=max_stored_bytes)
@@ -164,10 +201,10 @@ class HeavySplitOperator:
         Nx = _round_up(max(self.ncols, 1), 1024)
         y = self.main.spmv(x)
         yt = runtail_spmv(self.tvals, self.tbase, x, Nx)
-        # Pad slots all map to row N and are therefore NOT unique, so no
-        # unique_indices promise (UB otherwise); their values are forced
-        # to zero — a NaN/Inf anywhere in a pad slot's x window must not
-        # leak into y's padded region (dots/norms are unmasked).
+        # Pad slots all map to row N (NOT unique — no uniqueness promise
+        # on the scatter; rows owning several segments also repeat) and
+        # their values are forced to zero so a NaN/Inf in a pad window
+        # cannot leak into y's padded region (dots/norms are unmasked).
         yt = jnp.where(self.trows < self.N, yt, 0.0)
         if self.N < self.Np:
             return y.at[self.trows].add(yt)

@@ -49,7 +49,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from acg_tpu.core.heavy import HeavySplitOperator, heavy_rows
+    from acg_tpu.core.heavy import HeavySplitOperator
     from acg_tpu.core.sell import SellOperator, _round_up
     from acg_tpu.ops.pallas_runtail import runtail_spmv
     from acg_tpu.partition.ordering import cluster_order
@@ -71,9 +71,11 @@ def main():
     t0 = time.perf_counter()
     # SMALL smoke: run=64 sits below the default heavy threshold
     op = HeavySplitOperator.from_csr(A, threshold=100 if SMALL else None)
+    live = int(np.sum(np.asarray(op.trows) < N))
     print(f"split build {time.perf_counter() - t0:.1f} s: "
-          f"ntail={op.ntail:,} (true heavy {len(heavy_rows(A)):,}), "
-          f"tail nnz {op.tvals.size:,}, main fill {op.main.fill:.3f}, "
+          f"{live:,} segments on "
+          f"{len(np.unique(np.asarray(op.trows)[:live])):,} rows, "
+          f"tail slots {op.tvals.size:,}, main fill {op.main.fill:.3f}, "
           f"combined fill {op.fill:.3f}", flush=True)
     Nx = _round_up(N, 1024)
     xpad = jnp.zeros((Nx + 4 * 1024,), jnp.float32).at[:N].set(

@@ -140,3 +140,58 @@ def test_sell_from_csr_heavy_gate(rng):
     y = np.asarray(op.spmv(jnp.asarray(x)))[:N]
     ref = A @ x[:N].astype(np.float64)
     assert np.linalg.norm(y - ref) / np.linalg.norm(ref) < 1e-5
+
+
+def test_heavy_segments_distant_run(rng):
+    """The ACG_HEAVY=2 shape: mesh entries near the diagonal PLUS a
+    dense run at a DISTANT random column.  The whole-row span is huge
+    (mesh part + far run), but the run segment must still be detected,
+    moved to the tail, and the row's mesh part kept in the main block."""
+    from acg_tpu.core.heavy import heavy_segments
+
+    n, run = 4000, 600
+    A = sp.diags([4.0 * np.ones(n), -np.ones(n), -np.ones(n)],
+                 [0, 1, -1], shape=(n, n)).tolil()
+    planted = ((50, 3000), (1200, 200))
+    for r, c0 in planted:
+        vals = 0.01 * rng.standard_normal(run)
+        A[r, c0:c0 + run] = vals
+        A[c0:c0 + run, r] = vals
+    A = A.tocsr()
+    A = A + sp.diags(np.abs(A).sum(axis=1).A1)
+    A = A.tocsr()
+    seg_row, seg_lo, seg_hi = heavy_segments(A, threshold=300)
+    assert {50, 1200} <= set(seg_row.tolist())
+    op = HeavySplitOperator.from_csr(A, threshold=300)
+    assert op.main.nnz_true < A.nnz          # segments really removed
+    x = rng.standard_normal(A.shape[0]).astype(np.float32)
+    xp = jnp.zeros((op.Np,), jnp.float32).at[:A.shape[0]].set(
+        jnp.asarray(x))
+    y = np.asarray(op.spmv(xp))[:A.shape[0]]
+    ref = A @ x.astype(np.float64)
+    assert np.linalg.norm(y - ref) / np.linalg.norm(ref) < 1e-5
+
+
+def test_heavy_two_segments_one_row(rng):
+    """A row owning TWO distant dense runs emits two tail slots; the
+    scatter-add (no uniqueness promise) accumulates both into the row."""
+    from acg_tpu.core.heavy import heavy_segments
+
+    n, run = 4000, 400
+    A = sp.diags([4.0 * np.ones(n)], [0]).tolil()
+    r = 77
+    for c0 in (500, 3200):
+        vals = 0.01 * rng.standard_normal(run)
+        A[r, c0:c0 + run] = vals
+        A[c0:c0 + run, r] = vals
+    A = A.tocsr()
+    A = (A + sp.diags(np.abs(A).sum(axis=1).A1)).tocsr()
+    seg_row, _, _ = heavy_segments(A, threshold=300)
+    assert (seg_row == r).sum() == 2
+    op = HeavySplitOperator.from_csr(A, threshold=300)
+    x = rng.standard_normal(A.shape[0]).astype(np.float32)
+    xp = jnp.zeros((op.Np,), jnp.float32).at[:A.shape[0]].set(
+        jnp.asarray(x))
+    y = np.asarray(op.spmv(xp))[:A.shape[0]]
+    ref = A @ x.astype(np.float64)
+    assert np.linalg.norm(y - ref) / np.linalg.norm(ref) < 1e-5
