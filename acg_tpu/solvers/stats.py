@@ -99,8 +99,10 @@ def format_report(op, info: SolveInfo, opt: CGOptions, method: str,
     a(f"{pad}total flop rate: {1e-9 * nflops / tsolve if tsolve > 0 else 0:.3f} Gflop/s")
     a(f"{pad}total solver time: {tsolve:.6f} seconds")
     if measured:
+        lane = (f"; times are the MEAN over the {nparts} devices' "
+                f"concurrent lanes, not per-rank" if nparts > 1 else "")
         a(f"{pad}performance breakdown (times MEASURED from the profiler "
-          f"trace; counts/bytes analytic):")
+          f"trace; counts/bytes analytic{lane}):")
     else:
         a(f"{pad}performance breakdown (times est. from byte shares of the fused program):")
     for name in ("gemv", "dot", "nrm2", "axpy", "allreduce", "halo"):
