@@ -40,7 +40,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.pallas_runtail import R, WSUB, runtail_spmv
+from ..ops.pallas_runtail import (R, WSUB, runtail_spmv,
+                                  runtail_spmv_df64)
 from .sell import SellOperator, _round_up
 
 # worst-case span a segment may cover and still fit one WSUB-subrow
@@ -85,6 +86,54 @@ def heavy_segments(A, threshold: int | None = None):
             np.asarray(seg_hi, dtype=np.int64))
 
 
+def tail_arrays(A, seg_row, seg_lo, seg_hi, nsteps: int, pad_row: int,
+                keep_lo: bool = False):
+    """Dense run-tail slabs from detected segments.
+
+    Returns (tvals (nsteps*R, WSUB*1024) f32, tlo same-or-None, tbase
+    (nsteps*R,) i32, trows (nsteps*R,) i32 with pads at ``pad_row``,
+    tail_mask (nnz,) bool).  ``nsteps`` may exceed the minimum (SPMD-
+    uniform stacking across parts pads with zero slabs)."""
+    nseg = len(seg_row)
+    W = WSUB * 1024
+    tvals = np.zeros((nsteps * R, W), np.float32)
+    tlo = np.zeros((nsteps * R, W), np.float32) if keep_lo else None
+    tbase = np.zeros((nsteps * R,), np.int32)
+    trows = np.full((nsteps * R,), pad_row, np.int32)
+    tail_mask = np.zeros(A.nnz, dtype=bool)
+    for i in range(nseg):
+        lo, hi = seg_lo[i], seg_hi[i]
+        cols = A.indices[lo:hi]
+        base = int(cols[0]) // 1024
+        off = cols - base * 1024
+        d = A.data[lo:hi]
+        tvals[i, off] = d
+        if keep_lo:
+            tlo[i, off] = (np.asarray(d, np.float64)
+                           - tvals[i, off].astype(np.float64))
+        tbase[i] = base
+        trows[i] = seg_row[i]
+        tail_mask[lo:hi] = True
+    if keep_lo and not tlo.any():
+        tlo = None                     # tail exactly f32-representable
+    return tvals, tlo, tbase, trows, tail_mask
+
+
+def strip_segments(A, tail_mask):
+    """Copy of CSR ``A`` with the masked (tail) entries removed — same
+    row/column space, so the main-block layout sees only mesh rows."""
+    import scipy.sparse as sp
+    N = A.shape[0]
+    keep = ~tail_mask
+    rowlen = np.diff(A.indptr)
+    row_of = np.repeat(np.arange(N, dtype=np.int64), rowlen)
+    counts = np.bincount(row_of[keep], minlength=N)
+    indptr = np.zeros(N + 1, A.indptr.dtype)
+    np.cumsum(counts, out=indptr[1:])
+    return sp.csr_matrix((A.data[keep], A.indices[keep], indptr),
+                         shape=A.shape)
+
+
 def heavy_rows(A, threshold: int | None = None) -> np.ndarray:
     """Row ids owning at least one dense window segment (see
     heavy_segments) — the detection gate sell_from_csr(heavy=True)
@@ -96,19 +145,35 @@ def heavy_rows(A, threshold: int | None = None) -> np.ndarray:
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class HeavySplitOperator:
-    """SELL main block (heavy segments removed) + dense run-tail."""
+    """SELL main block (heavy segments removed) + dense run-tail.
+
+    ``keep_lo`` builds carry the df64 story: the main block keeps its
+    low-residual slabs (core/sell.py keep_lo) and the tail keeps a
+    second (hi, lo) window slab pair, so ``spmv_df64`` delivers the
+    f64-parity SpMV on heavy matrices — the capability the reference's
+    f64 merge kernel has with no special casing
+    (cg-kernels-cuda.cu:358-441).  ``groups`` are the duplicate-free
+    scatter rounds for the df64 tail add: a row may own several
+    segments, and a componentwise .add would round away the pair's low
+    bits, so each occurrence rank gets its own unique-index set + one
+    error-free df_add."""
 
     main: SellOperator
     tvals: jnp.ndarray       # (nsteps, R, WSUB, 8, 128) f32
+    tvals_lo: "jnp.ndarray | None"   # same shape; None = tail f32-exact
     tbase: jnp.ndarray       # (nsteps*R,) int32, units of 1024 elements
     trows: jnp.ndarray       # (nsteps*R,) int32 global rows (pad → N)
+    groups: tuple            # ((idx_k, rows_k), ...) unique-row rounds
     N: int
     ncols: int
     nnz_true: int
+    # static: tail built with keep_lo (lo slab present OR proved exact)
+    _tail_df64_ready: bool = False
 
     def tree_flatten(self):
-        return (self.main, self.tvals, self.tbase, self.trows), \
-            (self.N, self.ncols, self.nnz_true)
+        return (self.main, self.tvals, self.tvals_lo, self.tbase,
+                self.trows, self.groups), \
+            (self.N, self.ncols, self.nnz_true, self._tail_df64_ready)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -117,6 +182,20 @@ class HeavySplitOperator:
     @property
     def dtype(self):
         return self.main.dtype
+
+    @property
+    def vals_lo(self):
+        """None iff both blocks are f32-exact (solve() reads this to
+        specialize the df64 kernels)."""
+        if self.main.vals_lo is not None:
+            return self.main.vals_lo
+        return self.tvals_lo
+
+    @property
+    def df64_ready(self) -> bool:
+        """True when built with from_csr(keep_lo=True): both blocks
+        carry lo residuals (or proved themselves f32-exact)."""
+        return self.main.df64_ready and self._tail_df64_ready
 
     @property
     def Np(self) -> int:
@@ -141,9 +220,11 @@ class HeavySplitOperator:
 
     @classmethod
     def from_csr(cls, A, dtype=np.float32, threshold: int | None = None,
-                 max_stored_bytes: int = 13 * 1024**3):
+                 max_stored_bytes: int = 13 * 1024**3,
+                 keep_lo: bool = False):
         """Split a scipy CSR matrix by segment regime and build both
-        parts.
+        parts.  ``keep_lo`` keeps the f64→f32 rounding residuals of BOTH
+        blocks so spmv_df64/pipelined-df64 see the exact matrix.
 
         Raises ValueError when no segment qualifies — callers should use
         the plain builder then (the split only pays when dense window
@@ -151,7 +232,8 @@ class HeavySplitOperator:
         BENCHMARKS.md cap-and-tail)."""
         if np.dtype(dtype) != np.float32:
             raise NotImplementedError(
-                "HeavySplitOperator is f32-only (run-tail kernel)")
+                "HeavySplitOperator is f32-only (run-tail kernel; use "
+                "keep_lo=True for the df64-parity path)")
         import scipy.sparse as sp
         A = A.tocsr()
         if not A.has_sorted_indices:
@@ -166,6 +248,7 @@ class HeavySplitOperator:
         nsteps = -(-nseg // R)
         W = WSUB * 1024
         tvals = np.zeros((nsteps * R, W), np.float32)
+        tlo = np.zeros((nsteps * R, W), np.float32) if keep_lo else None
         tbase = np.zeros((nsteps * R,), np.int32)
         trows = np.full((nsteps * R,), N, np.int32)   # pad slots → row N
         tail_mask = np.zeros(A.nnz, dtype=bool)
@@ -174,10 +257,26 @@ class HeavySplitOperator:
             cols = A.indices[lo:hi]
             base = int(cols[0]) // 1024
             off = cols - base * 1024
-            tvals[i, off] = A.data[lo:hi]
+            d = A.data[lo:hi]
+            tvals[i, off] = d
+            if keep_lo:
+                tlo[i, off] = (np.asarray(d, np.float64)
+                               - tvals[i, off].astype(np.float64))
             tbase[i] = base
             trows[i] = seg_row[i]
             tail_mask[lo:hi] = True
+        if keep_lo and not tlo.any():
+            tlo = None                     # tail exactly f32-representable
+
+        # duplicate-free scatter rounds for the df64 tail add: k-th round
+        # holds each live row's k-th segment (unique rows by construction;
+        # seg_row is sorted by row — heavy_segments contract)
+        occ = np.arange(nseg) - np.searchsorted(seg_row, seg_row)
+        groups = []
+        for k in range(int(occ.max()) + 1 if nseg else 0):
+            idx_k = np.nonzero(occ == k)[0].astype(np.int32)
+            groups.append((jnp.asarray(idx_k),
+                           jnp.asarray(seg_row[idx_k].astype(np.int32))))
 
         # main block: same row/column space, segment entries removed
         keep = ~tail_mask
@@ -189,13 +288,18 @@ class HeavySplitOperator:
         Am = sp.csr_matrix((A.data[keep], A.indices[keep], indptr),
                            shape=A.shape)
         main = SellOperator.from_csr(Am, dtype=dtype,
-                                     max_stored_bytes=max_stored_bytes)
+                                     max_stored_bytes=max_stored_bytes,
+                                     keep_lo=keep_lo)
         return cls(main=main,
                    tvals=jnp.asarray(
                        tvals.reshape(nsteps, R, WSUB, 8, 128)),
+                   tvals_lo=None if tlo is None else jnp.asarray(
+                       tlo.reshape(nsteps, R, WSUB, 8, 128)),
                    tbase=jnp.asarray(tbase),
                    trows=jnp.asarray(trows),
-                   N=N, ncols=ncols, nnz_true=int(A.nnz))
+                   groups=tuple(groups),
+                   N=N, ncols=ncols, nnz_true=int(A.nnz),
+                   _tail_df64_ready=keep_lo)
 
     def spmv(self, x: jnp.ndarray) -> jnp.ndarray:
         Nx = _round_up(max(self.ncols, 1), 1024)
@@ -211,9 +315,35 @@ class HeavySplitOperator:
         return jnp.concatenate([y, jnp.zeros((1,), y.dtype)]) \
             .at[self.trows].add(yt)[:-1]
 
+    def spmv_df64(self, xh: jnp.ndarray, xl: jnp.ndarray):
+        """(yh, yl) ≈ A @ (xh + xl) to df64 accuracy: SELL df64 main
+        pass + df64 run-tail, combined with error-free df_adds.  Each
+        scatter round has unique rows, so .set + df_add keeps the pair's
+        low bits (a plain componentwise .add would round them away)."""
+        from ..ops import df64 as _df
+        if not self.df64_ready:
+            raise ValueError(
+                "spmv_df64 needs the operator built with "
+                "from_csr(keep_lo=True): without it the matrix would "
+                "silently round to f32")
+        Nx = _round_up(max(self.ncols, 1), 1024)
+        yh, yl = self.main.spmv_df64(xh, xl)
+        th, tl = runtail_spmv_df64(self.tvals, self.tvals_lo, self.tbase,
+                                   xh, xl, Nx)
+        for idx_k, rows_k in self.groups:
+            zh = jnp.zeros_like(yh).at[rows_k].set(
+                th[idx_k], unique_indices=True)
+            zl = jnp.zeros_like(yl).at[rows_k].set(
+                tl[idx_k], unique_indices=True)
+            yh, yl = _df.df_add(yh, yl, zh, zl)
+        return yh, yl
+
     def flops_per_spmv(self) -> int:
         return 2 * self.nnz_true
 
     def bytes_per_spmv(self) -> int:
         isz = self.dtype.itemsize
-        return self.main.bytes_per_spmv() + 2 * self.tvals.size * isz
+        b = self.main.bytes_per_spmv() + 2 * self.tvals.size * isz
+        if self.tvals_lo is not None:
+            b += self.tvals_lo.size * isz
+        return b

@@ -878,13 +878,22 @@ def sell_from_csr(A, dtype=np.float32,
     has no qualifying rows and builds the plain layout unchanged."""
     A = A.tocsr()
     N, ncols = A.shape
+    if heavy and cap:
+        raise ValueError(
+            "heavy and cap are competing split strategies; pick one "
+            "(cap-and-tail measured NEGATIVE in all regimes — "
+            "BENCHMARKS.md — so heavy is almost always the answer)")
+    if heavy and np.dtype(dtype) != np.float32:
+        raise NotImplementedError(
+            "the heavy split stores f32 slabs (run-tail kernel); pass "
+            "keep_lo=True for the df64-parity path instead of an f64 dtype")
     if ncols <= MAX_VMEM_ROWS:
-        if heavy and not cap and not keep_lo \
-                and np.dtype(dtype) == np.float32:
+        if heavy:
             from .heavy import HeavySplitOperator
             try:
                 return HeavySplitOperator.from_csr(
-                    A, dtype=dtype, max_stored_bytes=max_stored_bytes)
+                    A, dtype=dtype, max_stored_bytes=max_stored_bytes,
+                    keep_lo=keep_lo)
             except ValueError:
                 pass   # no heavy-local rows: plain layout
         if cap:
@@ -899,6 +908,12 @@ def sell_from_csr(A, dtype=np.float32,
             "cap is not implemented for column-paneled operators "
             f"(ncols={ncols:,} > {MAX_VMEM_ROWS:,}); partition the matrix "
             "across devices for the capped path")
+    if heavy:
+        raise NotImplementedError(
+            "the heavy split is not implemented for column-paneled "
+            f"operators (ncols={ncols:,} > {MAX_VMEM_ROWS:,}); partition "
+            "the matrix across devices so each part fits the VMEM-"
+            "resident path")
     import scipy.sparse as sp
     Np = _round_up(max(N, 1), 128)
     # pad rows to the tile multiple once so tile slicing is exact

@@ -33,10 +33,15 @@ XLA alternatives measured first (scripts/exp_runtail.py, real chip,
 aligned-2W-window gather 1.28 Gnnz/s — slice-gathers lower to ~10-15
 GB/s effective, hence this kernel.
 
-STATUS: validated by CPU interpret-mode tests; the Mosaic lowering and
-throughput on the real chip are pending (scripts/bench_runtail.py) —
-the traced-index scalar store into a full-array SMEM output is a
-pattern no other kernel here uses.
+STATUS: Mosaic-lowered and validated on the real chip (2026-08-20):
+f32 kernel max rel err 1.2e-6 (f32-level), df64 twin 2.0e-14 (full EFT
+accuracy survives Mosaic).  Two hardware lessons encoded below: (1)
+unrolled-loop indices into `.at[]` scratch slices must be materialized
+as int32 (Python ints trace to i64 under jax_enable_x64 and
+tpu.memref_slice rejects them); (2) SMEM BlockSpecs need explicit
+full-array blocks + int32 index maps (the synthesized default map
+returns Python ints → "failed to legalize func.return (i64)").
+Throughput: scripts/bench_runtail.py / BENCHMARKS.md.
 """
 
 from __future__ import annotations
@@ -49,6 +54,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import df64
+
 R = 8          # tail rows per grid step
 WSUB = 4       # window = WSUB (8, 128) subrows = WSUB*1024 elements
 
@@ -57,15 +64,20 @@ def _runtail_kernel(x_hbm, base_ref, vals_ref, y_ref, xw, sems):
     i = pl.program_id(0).astype(jnp.int32)
 
     def copy(k):
-        b = base_ref[i * R + k]
+        # unrolled-loop indices MUST be materialized as int32: a Python
+        # int traces to i64 under jax_enable_x64 and Mosaic rejects the
+        # memref slice ('tpu.memref_slice' wants i32 — same rule as
+        # BlockSpec index maps, CLAUDE.md)
+        k32 = jnp.int32(k)
+        b = base_ref[i * R + k32]
         return pltpu.make_async_copy(
-            x_hbm.at[pl.ds(b, WSUB)], xw.at[k], sems.at[k])
+            x_hbm.at[pl.ds(b, WSUB)], xw.at[k32], sems.at[k32])
 
     for k in range(R):
         copy(k).start()
     for k in range(R):
         copy(k).wait()
-        y_ref[i * R + k] = jnp.sum(vals_ref[0, k] * xw[k])
+        y_ref[i * R + jnp.int32(k)] = jnp.sum(vals_ref[0, k] * xw[k])
 
 
 @functools.partial(jax.jit, static_argnames=("Nx",))
@@ -94,17 +106,23 @@ def runtail_spmv(vals: jnp.ndarray, base: jnp.ndarray, x: jnp.ndarray,
         x = x[:Nxp]
     x3 = x.reshape(Nxp // 1024, 8, 128)
     z32 = np.int32(0)
+    # SMEM specs carry explicit full-array blocks + int32 index maps:
+    # the synthesized default map returns Python ints, which trace to
+    # i64 under jax_enable_x64 and Mosaic dies with "failed to legalize
+    # func.return (i64)" (measured on hardware; CLAUDE.md rule)
     y = pl.pallas_call(
         _runtail_kernel,
         grid=(nsteps,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),                  # x3 in HBM
-            pl.BlockSpec(memory_space=pltpu.SMEM),              # base
+            pl.BlockSpec((nsteps * R,), lambda i: (z32,),
+                         memory_space=pltpu.SMEM),              # base
             pl.BlockSpec((1, R, WSUB, 8, 128),
                          lambda i: (i, z32, z32, z32, z32),
                          memory_space=pltpu.VMEM),              # vals
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),        # y full
+        out_specs=pl.BlockSpec((nsteps * R,), lambda i: (z32,),
+                               memory_space=pltpu.SMEM),        # y full
         out_shape=jax.ShapeDtypeStruct((nsteps * R,), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((R, WSUB, 8, 128), jnp.float32),
@@ -118,3 +136,169 @@ def runtail_spmv(vals: jnp.ndarray, base: jnp.ndarray, x: jnp.ndarray,
         interpret=jax.default_backend() == "cpu",
     )(x3, base, vals)
     return y
+
+
+def _runtail_kernel_df64(has_lo, xh_hbm, xl_hbm, base_ref, vals_refs,
+                         yh_ref, yl_ref, xwh, xwl, sems):
+    """df64 twin of _runtail_kernel: x is an explicit (hi, lo) pair,
+    matrix values carry an optional low-residual slab, and the window
+    dot is an error-free-transform reduction.  Outputs are PER-LANE
+    partial pairs (R, 128) per grid step — the final 128-lane fold
+    happens outside the kernel (runtail_spmv_df64), where a log2(128)
+    df_add tree is a handful of vectorized XLA ops."""
+    i = pl.program_id(0).astype(jnp.int32)
+    if has_lo:
+        vals_ref, vlo_ref = vals_refs
+    else:
+        (vals_ref,), vlo_ref = vals_refs, None
+
+    def copy(k, src, dst, s):
+        # int32-materialized unrolled indices (Mosaic memref_slice rule,
+        # see _runtail_kernel)
+        k32 = jnp.int32(k)
+        b = base_ref[i * R + k32]
+        return pltpu.make_async_copy(
+            src.at[pl.ds(b, WSUB)], dst.at[k32], sems.at[k32, jnp.int32(s)])
+
+    for k in range(R):
+        copy(k, xh_hbm, xwh, 0).start()
+        copy(k, xl_hbm, xwl, 1).start()
+    for k in range(R):
+        copy(k, xh_hbm, xwh, 0).wait()
+        copy(k, xl_hbm, xwl, 1).wait()
+        vh = vals_ref[0, k]                       # (WSUB, 8, 128)
+        with df64.no_barriers():
+            p, e = df64.two_prod(vh, xwh[k])
+            e = e + vh * xwl[k]
+            if has_lo:
+                e = e + vlo_ref[0, k] * xwh[k]
+            # compensated sublane fold: WSUB*8 sub-rows -> one (128,) pair
+            pr = p.reshape(WSUB * 8, 128)
+            s = pr[0]
+            err = jnp.sum(e.reshape(WSUB * 8, 128), axis=0)
+            for q in range(1, WSUB * 8):
+                s, c2 = df64.two_sum(s, pr[q])
+                err = err + c2
+        yh_ref[0, k] = s
+        yl_ref[0, k] = err
+
+
+def _runtail_df64_xla(vals, vals_lo, base, xh, xl, Nxp):
+    """Eager-XLA twin of the df64 run-tail kernel for the CPU backend.
+
+    The pallas INTERPRETER compiles the kernel body as one XLA:CPU unit
+    whose excess-precision evaluation destroys the EFTs — and unlike the
+    SELL kernel (whose gathers fragment the fused regions and keep the
+    rounding), this kernel is pure elementwise math, so the loss is
+    structural (measured: 1 ulp of the hi sum, ~1.7e-8 relative; the
+    barriers do NOT help, same finding as the fori_loop case in
+    CLAUDE.md).  Eagerly-dispatched ops round exactly per op, so this
+    twin is df64-exact in eager CPU calls (accuracy tests); under an
+    outer jit it is as weak as every other XLA-land df64 path on CPU."""
+    nrows = base.shape[0]
+    W = WSUB * 1024
+    x3h = xh.reshape(-1)
+    x3l = xl.reshape(-1)
+    idx = base.astype(jnp.int32)[:, None] * 1024 \
+        + jnp.arange(W, dtype=jnp.int32)[None, :]
+    xwh = jnp.take(x3h, idx)
+    xwl = jnp.take(x3l, idx)
+    v2 = vals.reshape(nrows, W)
+    p, e = df64.two_prod(v2, xwh)
+    e = e + v2 * xwl
+    if vals_lo is not None:
+        e = e + vals_lo.reshape(nrows, W) * xwh
+    # exact pairwise df_add tree over the window axis
+    w = W
+    while w > 1:
+        w //= 2
+        p, e = df64.df_add(p[:, :w], e[:, :w], p[:, w:2 * w], e[:, w:2 * w])
+    return p[:, 0], e[:, 0]
+
+
+# NOT @jax.jit: solver callers trace it inside their own jit anyway, and
+# an eager call (CPU accuracy tests) must dispatch op-by-op — XLA:CPU's
+# excess-precision jit evaluation weakens EFTs (CLAUDE.md).
+def runtail_spmv_df64(vals: jnp.ndarray, vals_lo, base: jnp.ndarray,
+                      xh: jnp.ndarray, xl: jnp.ndarray, Nx: int):
+    """(yh, yl)[i] ≈ dot(vals[i] + vals_lo[i], (xh + xl) window) to df64
+    accuracy — the f64-parity run-tail the reference's f64 merge kernel
+    provides with no special casing (cg-kernels-cuda.cu:358-441).
+
+    ``vals_lo`` is None when the matrix is exactly f32-representable.
+    Same layout contract as runtail_spmv; xh/xl are the (hi, lo) column-
+    space pair.  Returns two (nsteps*R,) f32 arrays."""
+    if vals.dtype != jnp.float32:
+        raise NotImplementedError(
+            f"runtail_spmv_df64 is f32-pair-only; got {vals.dtype}")
+    has_lo = vals_lo is not None
+    nsteps = vals.shape[0]
+    assert vals.shape[1:] == (R, WSUB, 8, 128), vals.shape
+    assert base.shape == (nsteps * R,) and base.dtype == jnp.int32
+    Nxp = Nx + WSUB * 1024
+
+    def prep(x):
+        if x.shape[0] < Nxp:
+            x = jnp.concatenate([x, jnp.zeros((Nxp - x.shape[0],), x.dtype)])
+        elif x.shape[0] > Nxp:
+            x = x[:Nxp]
+        return x.reshape(Nxp // 1024, 8, 128)
+
+    xh3, xl3 = prep(xh), prep(xl)
+    if jax.default_backend() == "cpu":
+        return _runtail_df64_xla(vals, vals_lo, base, xh3, xl3, Nxp)
+    z32 = np.int32(0)
+    slab_spec = pl.BlockSpec((1, R, WSUB, 8, 128),
+                             lambda i: (i, z32, z32, z32, z32),
+                             memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),                  # xh3 in HBM
+        pl.BlockSpec(memory_space=pl.ANY),                  # xl3 in HBM
+        pl.BlockSpec((nsteps * R,), lambda i: (z32,),
+                     memory_space=pltpu.SMEM),              # base
+        slab_spec,                                          # vals hi
+    ]
+    args = [xh3, xl3, base, vals]
+    if has_lo:
+        in_specs.append(slab_spec)                          # vals lo
+        args.append(vals_lo)
+
+    def krn(xh_hbm, xl_hbm, base_ref, *rest):
+        if has_lo:
+            vrefs, outs = (rest[0], rest[1]), rest[2:]
+        else:
+            vrefs, outs = (rest[0],), rest[1:]
+        _runtail_kernel_df64(has_lo, xh_hbm, xl_hbm, base_ref, vrefs, *outs)
+
+    out_spec = pl.BlockSpec((1, R, 128), lambda i: (i, z32, z32),
+                            memory_space=pltpu.VMEM)
+    yh, yl = pl.pallas_call(
+        krn,
+        grid=(nsteps,),
+        in_specs=in_specs,
+        out_specs=(out_spec, out_spec),
+        out_shape=(jax.ShapeDtypeStruct((nsteps, R, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((nsteps, R, 128), jnp.float32)),
+        scratch_shapes=[
+            pltpu.VMEM((R, WSUB, 8, 128), jnp.float32),
+            pltpu.VMEM((R, WSUB, 8, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((R, 2)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=24 * nsteps * R * WSUB * 1024,
+            bytes_accessed=(3 + has_lo) * nsteps * R * WSUB * 1024 * 4,
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(*args)
+    # final fold: 128 lanes -> scalar per row, log2(128) df_add tree in
+    # XLA-land (with optimization barriers; exact on TPU — XLA:CPU's
+    # excess-precision jit caveat applies as everywhere, CLAUDE.md)
+    ph = yh.reshape(nsteps * R, 128)
+    pl_ = yl.reshape(nsteps * R, 128)
+    w = 128
+    while w > 1:
+        w //= 2
+        ph, pl_ = df64.df_add(ph[:, :w], pl_[:, :w], ph[:, w:2 * w],
+                              pl_[:, w:2 * w])
+    return ph[:, 0], pl_[:, 0]

@@ -30,6 +30,17 @@ from .cg import CGOptions, SolveInfo, solve
 # conditioned systems.
 F32_RTOL_FLOOR = 1e-4
 
+# Plateau window for the f32 stage when a df64 stage will follow: if the
+# best residual norm hasn't improved by >=1% over this many consecutive
+# iterations, the f32 stage has hit ITS OWN floor (which on an ill-
+# conditioned system sits ABOVE the 1e-4 clamp) and the df64 restart
+# takes over immediately instead of the stage spinning to
+# max_iterations.  Sized against the asymptotic CG rate: the 2048^2
+# Poisson system (kappa ~ 1.7e6) improves ~7%/50 iters, a comfortable
+# margin above the 1% trigger, so well-conditioned protocols are
+# unchanged.
+STALL_WINDOW = 50
+
 
 def _needs_escalation(opt: CGOptions, bnrm: float) -> bool:
     """True if the requested tolerance is below what f32 can deliver."""
@@ -42,14 +53,19 @@ def _needs_escalation(opt: CGOptions, bnrm: float) -> bool:
 
 def solve_auto(op64, b: np.ndarray, x0: np.ndarray | None = None,
                opt: CGOptions = CGOptions(), op32=None,
-               method32: str = "pipelined-fused", verbose: bool = False):
+               method32: str = "pipelined-fused",
+               method64: str = "pipelined-df64", verbose: bool = False):
     """Solve with automatic precision selection/escalation.
 
     ``op64`` is the operator used by the df64 stage (a DiaOperator with
     f64 vals, or a SellOperator built with from_csr(keep_lo=True));
     ``op32`` the f32 fast-path twin (built from ``op64`` if omitted; a
-    keep_lo SELL operator serves both stages itself).  Residual-based
-    stopping criteria only.
+    keep_lo SELL operator serves both stages itself).  ``method64``
+    picks the escalation stage's solver: "pipelined-df64" (the TPU fast
+    path; default) or "pipelined"/"cg" for true-f64 XLA (the reference-
+    parity correctness path — also what CPU tests use, since XLA:CPU's
+    excess-precision simplifier weakens the df64 EFTs under jit).
+    Residual-based stopping criteria only.
     Returns (x (N,) numpy float64, SolveInfo) where ``niterations``
     counts both stages.
     """
@@ -85,24 +101,20 @@ def solve_auto(op64, b: np.ndarray, x0: np.ndarray | None = None,
     # Stage 1: f32 fast path, clamped to its floor.  When no escalation
     # is needed this is the whole solve.
     import dataclasses
-    rtol1 = opt.residual_rtol if not escalate else \
-        max(opt.residual_rtol, F32_RTOL_FLOOR)
-    atol1 = opt.residual_atol if not escalate else \
-        max(opt.residual_atol, F32_RTOL_FLOOR * bnrm)
-    opt1 = dataclasses.replace(opt, residual_rtol=rtol1,
-                               residual_atol=atol1, dot_dtype="mixed")
-    x1, info1 = solve(op32, b, x0=x0, opt=opt1, method=method32)
+    x1, info1 = solve(op32, b, x0=x0, opt=_stage1_opt(opt, bnrm, escalate),
+                      method=method32)
     if not escalate:
         return x1.astype(np.float64), info1
     if verbose:
-        print(f"auto: f32 stage {info1.niterations} iters, "
+        print(f"auto: f32 stage {info1.niterations} iters"
+              f"{' (stalled at its floor)' if info1.stalled else ''}, "
               f"rnrm {info1.rnrm2:.3e}; escalating to df64")
 
     # Stage 2: df64 restart from the f32 iterate, original tolerances.
     iters_left = max(opt.max_iterations - info1.niterations, 1)
     opt2 = dataclasses.replace(opt, max_iterations=iters_left)
     x2, info2 = solve(op64, b, x0=x1.astype(np.float64), opt=opt2,
-                      method="pipelined-df64")
+                      method=method64)
     return x2, _merge_infos(info1, info2)
 
 
@@ -117,20 +129,27 @@ def _merge_infos(info1: SolveInfo, info2: SolveInfo) -> SolveInfo:
         rnrm2=info2.rnrm2,
         x0nrm2=info1.x0nrm2,
         dxnrm2=info2.dxnrm2,
+        stalled=info2.stalled,
     )
 
 
 def _stage1_opt(opt: CGOptions, bnrm: float,
                 escalate: bool) -> "CGOptions":
     """Stage-1 (f32) options: tolerances clamped to the f32 floor when a
-    df64 stage will follow."""
+    df64 stage will follow, plus plateau detection so an f32 stage whose
+    own floor sits ABOVE the clamp (ill-conditioned systems) hands over
+    to df64 early instead of spinning to the iteration cap."""
     import dataclasses
     rtol1 = opt.residual_rtol if not escalate else \
         max(opt.residual_rtol, F32_RTOL_FLOOR)
     atol1 = opt.residual_atol if not escalate else \
         max(opt.residual_atol, F32_RTOL_FLOOR * bnrm)
+    stall1 = opt.stall_iters
+    if escalate and stall1 == 0:
+        stall1 = STALL_WINDOW
     return dataclasses.replace(opt, residual_rtol=rtol1,
-                               residual_atol=atol1, dot_dtype="mixed")
+                               residual_atol=atol1, dot_dtype="mixed",
+                               stall_iters=stall1)
 
 
 def solve_auto_dist(pm, b: np.ndarray, x0: np.ndarray | None = None,
@@ -173,7 +192,8 @@ def solve_auto_dist(pm, b: np.ndarray, x0: np.ndarray | None = None,
     if not escalate:
         return x1.astype(np.float64), info1
     if verbose:
-        print(f"auto: f32 stage {info1.niterations} iters, "
+        print(f"auto: f32 stage {info1.niterations} iters"
+              f"{' (stalled at its floor)' if info1.stalled else ''}, "
               f"rnrm {info1.rnrm2:.3e}; escalating to df64")
     iters_left = max(opt.max_iterations - info1.niterations, 1)
     opt2 = dataclasses.replace(opt, max_iterations=iters_left)
@@ -210,7 +230,8 @@ def solve_auto_dist_stencil(offsets, vals: np.ndarray, b: np.ndarray,
     if not escalate:
         return x1.astype(np.float64), info1
     if verbose:
-        print(f"auto: f32 stage {info1.niterations} iters, "
+        print(f"auto: f32 stage {info1.niterations} iters"
+              f"{' (stalled at its floor)' if info1.stalled else ''}, "
               f"rnrm {info1.rnrm2:.3e}; escalating to df64")
     iters_left = max(opt.max_iterations - info1.niterations, 1)
     opt2 = dataclasses.replace(opt, max_iterations=iters_left)

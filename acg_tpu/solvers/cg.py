@@ -56,6 +56,17 @@ class CGOptions:
     # block removes that overhead at the price of up to check_every-1
     # frozen (no-op) iterations of wasted bandwidth after convergence.
     check_every: int = 1
+    # Plateau (stall) detection: halt when the best residual norm² seen
+    # hasn't improved by at least a factor stall_ratio (on the NORM, i.e.
+    # ratio² on γ) over ``stall_iters`` consecutive iterations.  0
+    # disables.  A stalled halt reports converged=False, stalled=True —
+    # the precision auto-escalation (solvers/auto.py) uses it to hand an
+    # f32 stage that flatlines ABOVE its clamped tolerance (an ill-
+    # conditioned system) straight to the df64 stage instead of spinning
+    # to max_iterations.  The reference never needs this: it always
+    # computes f64 (acg-cuda.c:489-530).
+    stall_iters: int = 0
+    stall_ratio: float = 0.99
 
     @property
     def needs_diff(self) -> bool:
@@ -74,6 +85,10 @@ class SolveInfo:
     x0nrm2: float = 0.0
     dxnrm2: float = 0.0
     residual_history: np.ndarray | None = None
+    # True when the run halted on the plateau detector (CGOptions
+    # stall_iters) rather than a convergence criterion; converged is
+    # False in that case.
+    stalled: bool = False
 
 
 def _converged(rnrm2sqr, dxnrm2sqr, bnrm2sqr, x0nrm2sqr, opt: CGOptions):
@@ -90,6 +105,30 @@ def _converged(rnrm2sqr, dxnrm2sqr, bnrm2sqr, x0nrm2sqr, opt: CGOptions):
         c = c | (dxnrm2sqr < (opt.diff_rtol**2) * x0nrm2sqr)
     return c
 
+
+def _stall_init(opt: CGOptions, gamma0):
+    """(best γ, consecutive no-improve count, stalled flag) start state.
+
+    Always carried in the loop state (constant-folded away by XLA when
+    stall_iters == 0, since _stall_update is then the identity)."""
+    return (gamma0, jnp.int32(0), jnp.bool_(False))
+
+
+def _stall_update(stall, gamma_new, frozen, opt: CGOptions):
+    """Advance the plateau detector one iteration.  No-op when disabled
+    or frozen.  An iteration "improves" when γ drops below
+    stall_ratio² × (best γ so far); stall_iters consecutive
+    non-improving iterations raise the stalled flag, which halts the
+    loop like convergence but reports converged=False."""
+    if opt.stall_iters <= 0:
+        return stall
+    best, nbad, stalled = stall
+    improved = gamma_new < best * (opt.stall_ratio ** 2)
+    best_new = jnp.where(frozen | ~improved, best, gamma_new)
+    nbad_new = jnp.where(frozen, nbad,
+                         jnp.where(improved, jnp.int32(0),
+                                   nbad + jnp.int32(1)))
+    return (best_new, nbad_new, stalled | (nbad_new >= opt.stall_iters))
 
 
 def _dot_dtypes(opt: CGOptions):
@@ -127,17 +166,18 @@ def cg_loop(spmv: Callable, b, x0, opt: CGOptions,
     p = r
 
     def cond(state):
-        x, r, p, gamma, dxn2, k, conv = state
-        return (k < opt.max_iterations) & jnp.logical_not(conv)
+        x, r, p, gamma, dxn2, k, conv, stall = state
+        return (k < opt.max_iterations) & jnp.logical_not(conv) & \
+            jnp.logical_not(stall[2])
 
     zero = jnp.array(0.0, dd)
 
     def step(state):
-        x, r, p, gamma, dxn2, k, conv = state
+        x, r, p, gamma, dxn2, k, conv, stall = state
         # once converged (or past max iterations inside a check block) the
         # step freezes: alpha/beta select to 0 so x/r/gamma are unchanged —
         # results are identical to checking the predicate every iteration
-        frozen = conv | (k >= opt.max_iterations)
+        frozen = conv | stall[2] | (k >= opt.max_iterations)
         # named scopes = the reference's NVTX ranges (cgcuda.c:771-938),
         # visible in jax.profiler traces
         with jax.named_scope("acg.spmv"):
@@ -154,10 +194,11 @@ def cg_loop(spmv: Callable, b, x0, opt: CGOptions,
             pn2 = reduce_fn(nrm2sqr(p, ddm))
             dxn2 = jnp.where(frozen, dxn2, alpha * alpha * pn2)
         conv = conv | _converged(gamma_new, dxn2, bnrm2sqr, x0nrm2sqr, opt)
+        stall = _stall_update(stall, gamma_new, frozen | conv, opt)
         beta = jnp.where(frozen, zero, gamma_new / gamma)
         p = r + (beta.astype(vdtype)) * p
         k = k + jnp.where(frozen, 0, 1).astype(jnp.int32)
-        return (x, r, p, gamma_new, dxn2, k, conv)
+        return (x, r, p, gamma_new, dxn2, k, conv, stall)
 
     if opt.check_every <= 1:
         body = step
@@ -168,9 +209,11 @@ def cg_loop(spmv: Callable, b, x0, opt: CGOptions,
 
     dxn2_0 = jnp.array(jnp.inf, dd)
     conv0 = _converged(gamma0, dxn2_0, bnrm2sqr, x0nrm2sqr, opt)
-    state = (x0, r, p, gamma0, dxn2_0, jnp.int32(0), conv0)
-    x, r, p, gamma, dxn2, k, conv = jax.lax.while_loop(cond, body, state)
-    scalars = dict(niterations=k, converged=conv,
+    state = (x0, r, p, gamma0, dxn2_0, jnp.int32(0), conv0,
+             _stall_init(opt, gamma0))
+    (x, r, p, gamma, dxn2, k, conv, stall) = \
+        jax.lax.while_loop(cond, body, state)
+    scalars = dict(niterations=k, converged=conv, stalled=stall[2],
                    bnrm2sqr=bnrm2sqr, r0nrm2sqr=gamma0, rnrm2sqr=gamma,
                    x0nrm2sqr=x0nrm2sqr, dxnrm2sqr=dxn2)
     return x, scalars
@@ -209,7 +252,8 @@ def cg_history_scan(spmv: Callable, b, x0, opt: CGOptions,
 
     state0 = (x0, r, r, gamma0, jnp.int32(0), conv0)  # p0 = r0
     (x, r, p, gamma, k, conv), hist = jax.lax.scan(step, state0, None, length=n)
-    scalars = dict(niterations=k, converged=conv, bnrm2sqr=bnrm2sqr,
+    scalars = dict(niterations=k, converged=conv, stalled=jnp.bool_(False),
+                   bnrm2sqr=bnrm2sqr,
                    r0nrm2sqr=gamma0, rnrm2sqr=gamma,
                    x0nrm2sqr=x0nrm2sqr,
                    dxnrm2sqr=jnp.array(jnp.inf, dd))
@@ -244,17 +288,20 @@ def pipelined_cg_loop(spmv: Callable, b, x0, opt: CGOptions,
     zeros = jnp.zeros_like(b)
 
     def cond(state):
-        (x, r, w, z, t, p, gamma, delta, gprev, aprev, dxn2, k, conv) = state
-        return (k < opt.max_iterations) & jnp.logical_not(conv)
+        (x, r, w, z, t, p, gamma, delta, gprev, aprev, dxn2, k, conv,
+         stall) = state
+        return (k < opt.max_iterations) & jnp.logical_not(conv) & \
+            jnp.logical_not(stall[2])
 
     zero = jnp.array(0.0, dd)
 
     def step(state):
-        (x, r, w, z, t, p, gamma, delta, gprev, aprev, dxn2, k, conv) = state
+        (x, r, w, z, t, p, gamma, delta, gprev, aprev, dxn2, k, conv,
+         stall) = state
         # frozen steps (post-convergence inside a check block) select
         # alpha to 0 so x/r/w and the scalars are unchanged; z/t/p keep
         # moving but only ever feed the solution through alpha terms
-        frozen = conv | (k >= opt.max_iterations)
+        frozen = conv | stall[2] | (k >= opt.max_iterations)
         with jax.named_scope("acg.spmv"):
             q = spmv(w)
         beta = jnp.where(k == 0, zero, gamma / gprev)
@@ -276,11 +323,12 @@ def pipelined_cg_loop(spmv: Callable, b, x0, opt: CGOptions,
             pn2 = reduce_fn(nrm2sqr(p, ddm))
             dxn2 = jnp.where(frozen, dxn2, alpha * alpha * pn2)
         conv = conv | _converged(gamma_new, dxn2, bnrm2sqr, x0nrm2sqr, opt)
+        stall = _stall_update(stall, gamma_new, frozen | conv, opt)
         gprev_new = jnp.where(frozen, gprev, gamma)
         aprev_new = jnp.where(frozen, aprev, alpha)
         k = k + jnp.where(frozen, 0, 1).astype(jnp.int32)
         return (x, r, w, z, t, p, gamma_new, delta_new, gprev_new,
-                aprev_new, dxn2, k, conv)
+                aprev_new, dxn2, k, conv, stall)
 
     if opt.check_every <= 1:
         body = step
@@ -293,10 +341,11 @@ def pipelined_cg_loop(spmv: Callable, b, x0, opt: CGOptions,
     conv0 = _converged(gamma0, dxn2_0, bnrm2sqr, x0nrm2sqr, opt)
     state = (x0, r, w, zeros, zeros, zeros, gamma0, delta0,
              jnp.array(1.0, dd), jnp.array(1.0, dd), dxn2_0,
-             jnp.int32(0), conv0)
+             jnp.int32(0), conv0, _stall_init(opt, gamma0))
     out = jax.lax.while_loop(cond, body, state)
-    (x, r, w, z, t, p, gamma, delta, gprev, aprev, dxn2, k, conv) = out
-    scalars = dict(niterations=k, converged=conv,
+    (x, r, w, z, t, p, gamma, delta, gprev, aprev, dxn2, k, conv,
+     stall) = out
+    scalars = dict(niterations=k, converged=conv, stalled=stall[2],
                    bnrm2sqr=bnrm2sqr, r0nrm2sqr=gamma0, rnrm2sqr=gamma,
                    x0nrm2sqr=x0nrm2sqr, dxnrm2sqr=dxn2)
     return x, scalars
@@ -347,7 +396,8 @@ def pipelined_cg_history_scan(spmv: Callable, b, x0, opt: CGOptions,
               jnp.array(1.0, dd), jnp.array(1.0, dd), jnp.int32(0), conv0)
     (x, r, w, z, t, p, gamma, delta, gprev, aprev, k, conv), hist = \
         jax.lax.scan(step, state0, None, length=n)
-    scalars = dict(niterations=k, converged=conv, bnrm2sqr=bnrm2sqr,
+    scalars = dict(niterations=k, converged=conv, stalled=jnp.bool_(False),
+                   bnrm2sqr=bnrm2sqr,
                    r0nrm2sqr=gamma0, rnrm2sqr=gamma, x0nrm2sqr=x0nrm2sqr,
                    dxnrm2sqr=jnp.array(jnp.inf, dd))
     return x, scalars, hist
@@ -420,14 +470,17 @@ def pipelined_cg_loop_fused(op, b, x0, opt: CGOptions,
     zeros = jnp.zeros_like(b)
 
     def cond(state):
-        (x, r, w, z, t, p, gamma, delta, gprev, aprev, k, conv) = state
-        return (k < opt.max_iterations) & jnp.logical_not(conv)
+        (x, r, w, z, t, p, gamma, delta, gprev, aprev, k, conv,
+         stall) = state
+        return (k < opt.max_iterations) & jnp.logical_not(conv) & \
+            jnp.logical_not(stall[2])
 
     zero = jnp.array(0.0, dd)
 
     def step(state):
-        (x, r, w, z, t, p, gamma, delta, gprev, aprev, k, conv) = state
-        frozen = conv | (k >= opt.max_iterations)
+        (x, r, w, z, t, p, gamma, delta, gprev, aprev, k, conv,
+         stall) = state
+        frozen = conv | stall[2] | (k >= opt.max_iterations)
         beta = jnp.where(k == 0, zero, gamma / gprev)
         alpha = jnp.where(frozen, zero,
                           gamma / (delta - beta * gamma / aprev))
@@ -439,11 +492,12 @@ def pipelined_cg_loop_fused(op, b, x0, opt: CGOptions,
         delta_new = jnp.where(frozen, delta, gd[1])
         conv = conv | _converged(gamma_new, jnp.array(jnp.inf, dd),
                                  bnrm2sqr, x0nrm2sqr, opt)
+        stall = _stall_update(stall, gamma_new, frozen | conv, opt)
         gprev_new = jnp.where(frozen, gprev, gamma)
         aprev_new = jnp.where(frozen, aprev, alpha)
         k = k + jnp.where(frozen, 0, 1).astype(jnp.int32)
         return (x2, r2, w2, z2, t2, p2, gamma_new, delta_new,
-                gprev_new, aprev_new, k, conv)
+                gprev_new, aprev_new, k, conv, stall)
 
     if opt.check_every <= 1:
         body = step
@@ -455,10 +509,11 @@ def pipelined_cg_loop_fused(op, b, x0, opt: CGOptions,
     conv0 = _converged(gamma0, jnp.array(jnp.inf, dd), bnrm2sqr,
                        x0nrm2sqr, opt)
     state = (x0, r, w, zeros, zeros, zeros, gamma0, delta0,
-             jnp.array(1.0, dd), jnp.array(1.0, dd), jnp.int32(0), conv0)
+             jnp.array(1.0, dd), jnp.array(1.0, dd), jnp.int32(0), conv0,
+             _stall_init(opt, gamma0))
     out = jax.lax.while_loop(cond, body, state)
-    (x, r, w, z, t, p, gamma, delta, gprev, aprev, k, conv) = out
-    scalars = dict(niterations=k, converged=conv,
+    (x, r, w, z, t, p, gamma, delta, gprev, aprev, k, conv, stall) = out
+    scalars = dict(niterations=k, converged=conv, stalled=stall[2],
                    bnrm2sqr=bnrm2sqr, r0nrm2sqr=gamma0, rnrm2sqr=gamma,
                    x0nrm2sqr=x0nrm2sqr,
                    dxnrm2sqr=jnp.array(jnp.inf, dd))
@@ -510,14 +565,17 @@ def pipelined_cg_loop_fused_spmv(spmv: Callable, b, x0, opt: CGOptions,
     zeros = jnp.zeros((Npad,), b.dtype)
 
     def cond(state):
-        (x, r, w, z, t, p, gamma, delta, gprev, aprev, k, conv) = state
-        return (k < opt.max_iterations) & jnp.logical_not(conv)
+        (x, r, w, z, t, p, gamma, delta, gprev, aprev, k, conv,
+         stall) = state
+        return (k < opt.max_iterations) & jnp.logical_not(conv) & \
+            jnp.logical_not(stall[2])
 
     zero = jnp.array(0.0, dd)
 
     def step(state):
-        (x, r, w, z, t, p, gamma, delta, gprev, aprev, k, conv) = state
-        frozen = conv | (k >= opt.max_iterations)
+        (x, r, w, z, t, p, gamma, delta, gprev, aprev, k, conv,
+         stall) = state
+        frozen = conv | stall[2] | (k >= opt.max_iterations)
         beta = jnp.where(k == 0, zero, gamma / gprev)
         alpha = jnp.where(frozen, zero,
                           gamma / (delta - beta * gamma / aprev))
@@ -532,11 +590,12 @@ def pipelined_cg_loop_fused_spmv(spmv: Callable, b, x0, opt: CGOptions,
         delta_new = jnp.where(frozen, delta, gd[1])
         conv = conv | _converged(gamma_new, jnp.array(jnp.inf, dd),
                                  bnrm2sqr, x0nrm2sqr, opt)
+        stall = _stall_update(stall, gamma_new, frozen | conv, opt)
         gprev_new = jnp.where(frozen, gprev, gamma)
         aprev_new = jnp.where(frozen, aprev, alpha)
         k = k + jnp.where(frozen, 0, 1).astype(jnp.int32)
         return (x2, r2, w2, z2, t2, p2, gamma_new, delta_new,
-                gprev_new, aprev_new, k, conv)
+                gprev_new, aprev_new, k, conv, stall)
 
     if opt.check_every <= 1:
         body = step
@@ -548,10 +607,11 @@ def pipelined_cg_loop_fused_spmv(spmv: Callable, b, x0, opt: CGOptions,
     conv0 = _converged(gamma0, jnp.array(jnp.inf, dd), bnrm2sqr,
                        x0nrm2sqr, opt)
     state = (pad(x0), pad(r), pad(w), zeros, zeros, zeros, gamma0, delta0,
-             jnp.array(1.0, dd), jnp.array(1.0, dd), jnp.int32(0), conv0)
+             jnp.array(1.0, dd), jnp.array(1.0, dd), jnp.int32(0), conv0,
+             _stall_init(opt, gamma0))
     out = jax.lax.while_loop(cond, body, state)
-    (x, r, w, z, t, p, gamma, delta, gprev, aprev, k, conv) = out
-    scalars = dict(niterations=k, converged=conv,
+    (x, r, w, z, t, p, gamma, delta, gprev, aprev, k, conv, stall) = out
+    scalars = dict(niterations=k, converged=conv, stalled=stall[2],
                    bnrm2sqr=bnrm2sqr, r0nrm2sqr=gamma0, rnrm2sqr=gamma,
                    x0nrm2sqr=x0nrm2sqr,
                    dxnrm2sqr=jnp.array(jnp.inf, dd))
@@ -621,14 +681,15 @@ def pipelined_cg_loop_df64_spmv(spmv2: Callable, b, x0, opt: CGOptions,
     wh, wl = split(w)
 
     def cond(state):
-        return (state[-2] < opt.max_iterations) & jnp.logical_not(state[-1])
+        return (state[-3] < opt.max_iterations) & \
+            jnp.logical_not(state[-2]) & jnp.logical_not(state[-1][2])
 
     zero = jnp.array(0.0, dd)
 
     def step(state):
         (xh, xl, rh, rl, wh, wl, zh, zl, th, tl, ph, pl_,
-         gamma, delta, gprev, aprev, k, conv) = state
-        frozen = conv | (k >= opt.max_iterations)
+         gamma, delta, gprev, aprev, k, conv, stall) = state
+        frozen = conv | stall[2] | (k >= opt.max_iterations)
         beta = jnp.where(k == 0, zero, gamma / gprev)
         alpha = jnp.where(frozen, zero,
                           gamma / (delta - beta * gamma / aprev))
@@ -645,11 +706,12 @@ def pipelined_cg_loop_df64_spmv(spmv2: Callable, b, x0, opt: CGOptions,
         delta_new = jnp.where(frozen, delta, gd[1])
         conv = conv | _converged(gamma_new, jnp.array(jnp.inf, dd),
                                  bnrm2sqr, x0nrm2sqr, opt)
+        stall = _stall_update(stall, gamma_new, frozen | conv, opt)
         gprev_new = jnp.where(frozen, gprev, gamma)
         aprev_new = jnp.where(frozen, aprev, alpha)
         k = k + jnp.where(frozen, 0, 1).astype(jnp.int32)
         return (xh2, xl2, rh2, rl2, wh2, wl2, zh2, zl2, th2, tl2, ph2, pl2,
-                gamma_new, delta_new, gprev_new, aprev_new, k, conv)
+                gamma_new, delta_new, gprev_new, aprev_new, k, conv, stall)
 
     if opt.check_every <= 1:
         body = step
@@ -663,12 +725,12 @@ def pipelined_cg_loop_df64_spmv(spmv2: Callable, b, x0, opt: CGOptions,
     state = (pad(x0h), pad(x0l), pad(rh), pad(rl), pad(wh), pad(wl),
              zeros, zeros, zeros, zeros, zeros, zeros,
              gamma0, delta0, jnp.array(1.0, dd), jnp.array(1.0, dd),
-             jnp.int32(0), conv0)
+             jnp.int32(0), conv0, _stall_init(opt, gamma0))
     out = jax.lax.while_loop(cond, body, state)
     xh, xl = out[0], out[1]
     gamma, k, conv = out[12], out[16], out[17]
     x = unpad(xh).astype(dd) + unpad(xl).astype(dd)
-    scalars = dict(niterations=k, converged=conv,
+    scalars = dict(niterations=k, converged=conv, stalled=out[18][2],
                    bnrm2sqr=bnrm2sqr, r0nrm2sqr=gamma0, rnrm2sqr=gamma,
                    x0nrm2sqr=x0nrm2sqr,
                    dxnrm2sqr=jnp.array(jnp.inf, dd))
@@ -745,14 +807,15 @@ def pipelined_cg_loop_df64(op, b, x0, opt: CGOptions,
     ph, pl_ = zh, zl
 
     def cond(state):
-        return (state[-2] < opt.max_iterations) & jnp.logical_not(state[-1])
+        return (state[-3] < opt.max_iterations) & \
+            jnp.logical_not(state[-2]) & jnp.logical_not(state[-1][2])
 
     zero = jnp.array(0.0, dd)
 
     def step(state):
         (xh, xl, rh, rl, wh, wl, zh, zl, th, tl, ph, pl_,
-         gamma, delta, gprev, aprev, k, conv) = state
-        frozen = conv | (k >= opt.max_iterations)
+         gamma, delta, gprev, aprev, k, conv, stall) = state
+        frozen = conv | stall[2] | (k >= opt.max_iterations)
         beta = jnp.where(k == 0, zero, gamma / gprev)
         alpha = jnp.where(frozen, zero,
                           gamma / (delta - beta * gamma / aprev))
@@ -769,11 +832,12 @@ def pipelined_cg_loop_df64(op, b, x0, opt: CGOptions,
         delta_new = jnp.where(frozen, delta, gd[1])
         conv = conv | _converged(gamma_new, jnp.array(jnp.inf, dd),
                                  bnrm2sqr, x0nrm2sqr, opt)
+        stall = _stall_update(stall, gamma_new, frozen | conv, opt)
         gprev_new = jnp.where(frozen, gprev, gamma)
         aprev_new = jnp.where(frozen, aprev, alpha)
         k = k + jnp.where(frozen, 0, 1).astype(jnp.int32)
         return (xh2, xl2, rh2, rl2, wh2, wl2, zh2, zl2, th2, tl2, ph2, pl2,
-                gamma_new, delta_new, gprev_new, aprev_new, k, conv)
+                gamma_new, delta_new, gprev_new, aprev_new, k, conv, stall)
 
     if opt.check_every <= 1:
         body = step
@@ -786,12 +850,12 @@ def pipelined_cg_loop_df64(op, b, x0, opt: CGOptions,
                        x0nrm2sqr, opt)
     state = (xh, xl, rh, rl, wh, wl, zh, zl, th, tl, ph, pl_,
              gamma0, delta0, jnp.array(1.0, dd), jnp.array(1.0, dd),
-             jnp.int32(0), conv0)
+             jnp.int32(0), conv0, _stall_init(opt, gamma0))
     out = jax.lax.while_loop(cond, body, state)
     xh, xl = out[0], out[1]
     gamma, k, conv = out[12], out[16], out[17]
     x = xh.astype(dd) + xl.astype(dd)
-    scalars = dict(niterations=k, converged=conv,
+    scalars = dict(niterations=k, converged=conv, stalled=out[18][2],
                    bnrm2sqr=bnrm2sqr, r0nrm2sqr=gamma0, rnrm2sqr=gamma,
                    x0nrm2sqr=x0nrm2sqr,
                    dxnrm2sqr=jnp.array(jnp.inf, dd))
@@ -957,5 +1021,6 @@ def solve(op, b: np.ndarray, x0: np.ndarray | None = None,
         x0nrm2=float(np.sqrt(scalars["x0nrm2sqr"])),
         dxnrm2=float(np.sqrt(scalars["dxnrm2sqr"])) if np.isfinite(scalars["dxnrm2sqr"]) else 0.0,
         residual_history=hist,
+        stalled=bool(scalars.get("stalled", False)),
     )
     return np.asarray(x[:N]), info

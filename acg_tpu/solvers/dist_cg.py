@@ -52,6 +52,7 @@ def _info_from_scalars(scalars, hist=None) -> SolveInfo:
         x0nrm2=float(np.sqrt(scalars["x0nrm2sqr"])),
         dxnrm2=float(np.sqrt(dx)) if np.isfinite(dx) else 0.0,
         residual_history=None if hist is None else np.asarray(hist),
+        stalled=bool(np.asarray(scalars.get("stalled", False)).reshape(-1)[0]),
     )
 
 
@@ -165,7 +166,8 @@ def solve_dist_stencil(offsets, vals: np.ndarray, b: np.ndarray,
                 red = lambda v: lax.psum(v, AXIS)
                 return fn(spmv, b_l, x0_l, opt, red)
 
-        scalar_spec = dict(niterations=P(), converged=P(), bnrm2sqr=P(),
+        scalar_spec = dict(niterations=P(), converged=P(), stalled=P(),
+                           bnrm2sqr=P(),
                            r0nrm2sqr=P(), rnrm2sqr=P(), x0nrm2sqr=P(),
                            dxnrm2sqr=P())
         out_specs = (P(AXIS), scalar_spec) if not history else \
@@ -368,7 +370,8 @@ def solve_dist_general(pm: PartitionedMatrix, b: np.ndarray,
             x, scalars = out
             return x[None], scalars
 
-        scalar_spec = dict(niterations=P(), converged=P(), bnrm2sqr=P(),
+        scalar_spec = dict(niterations=P(), converged=P(), stalled=P(),
+                           bnrm2sqr=P(),
                            r0nrm2sqr=P(), rnrm2sqr=P(), x0nrm2sqr=P(),
                            dxnrm2sqr=P())
         in_specs = tuple([P(AXIS)] * (nop + 2 + len(hargs)))

@@ -172,6 +172,140 @@ def test_heavy_segments_distant_run(rng):
     assert np.linalg.norm(y - ref) / np.linalg.norm(ref) < 1e-5
 
 
+def test_runtail_df64_kernel_accuracy(rng):
+    """runtail_spmv_df64 tracks f64 window dots to ~2^-48 — the
+    f64-parity run-tail the reference's f64 merge kernel provides with
+    no special casing (cg-kernels-cuda.cu:358-441).  On the CPU backend
+    this exercises the eager-XLA twin (the pallas interpreter compiles
+    the pure-elementwise kernel body into one excess-precision XLA:CPU
+    unit that destroys the EFTs — measured 1.7e-8; the hardware Mosaic
+    path is asserted by scripts/bench_runtail.py stage 1b)."""
+    from acg_tpu.ops.pallas_runtail import runtail_spmv_df64
+
+    ntail, ncols = 21, 5000
+    Nx = _round_up(ncols, 1024)
+    nsteps = -(-ntail // R)
+    vals = np.zeros((nsteps * R, WSUB * 1024), np.float32)
+    vlo = np.zeros_like(vals)
+    base = np.zeros((nsteps * R,), np.int32)
+    ref = np.zeros(nsteps * R)
+    x64 = rng.standard_normal(Nx) / 3.0
+    xh = x64.astype(np.float32)
+    xl = (x64 - xh.astype(np.float64)).astype(np.float32)
+    for i in range(ntail):
+        span = int(rng.integers(1, SPAN_LIMIT))
+        start = int(rng.integers(0, ncols - span))
+        b = start // 1024
+        v64 = rng.standard_normal(span) / 3.0
+        vh = v64.astype(np.float32)
+        vals[i, start - b * 1024:start - b * 1024 + span] = vh
+        vlo[i, start - b * 1024:start - b * 1024 + span] = \
+            (v64 - vh.astype(np.float64)).astype(np.float32)
+        base[i] = b
+        ref[i] = np.dot(v64, x64[start:start + span])
+    yh, yl = runtail_spmv_df64(
+        jnp.asarray(vals.reshape(nsteps, R, WSUB, 8, 128)),
+        jnp.asarray(vlo.reshape(nsteps, R, WSUB, 8, 128)),
+        jnp.asarray(base), jnp.asarray(xh), jnp.asarray(xl), Nx)
+    y = np.asarray(yh, np.float64) + np.asarray(yl, np.float64)
+    err = np.abs(y[:ntail] - ref[:ntail]) / \
+        np.maximum(np.abs(ref[:ntail]), 1e-30)
+    assert err.max() < 1e-12
+
+
+def test_heavy_keep_lo_spmv_df64(rng):
+    """A keep_lo heavy split is df64-exact end to end: SELL main block
+    lo slabs + (hi, lo) run-tail + duplicate-free df_add scatter."""
+    A, _ = _heavy_system(rng)
+    A = (A / 3.0).tocsr()                    # inexact in f32
+    op = HeavySplitOperator.from_csr(A, threshold=300, keep_lo=True)
+    assert op.df64_ready and op.vals_lo is not None
+    N = A.shape[0]
+    x64 = rng.standard_normal(N)
+    xp = np.zeros(op.Np)
+    xp[:N] = x64
+    xh = xp.astype(np.float32)
+    xl = (xp - xh.astype(np.float64)).astype(np.float32)
+    yh, yl = op.spmv_df64(jnp.asarray(xh), jnp.asarray(xl))
+    y = (np.asarray(yh, np.float64) + np.asarray(yl, np.float64))[:N]
+    ref = A @ x64
+    assert np.linalg.norm(y - ref) / np.linalg.norm(ref) < 1e-12
+
+
+def test_heavy_keep_lo_two_segments_df64(rng):
+    """df64 scatter with a row owning TWO segments: the occurrence-rank
+    groups keep every df_add unique-index (a plain pair .add would
+    round away the low bits)."""
+    n, run = 4000, 400
+    A = sp.diags([4.0 * np.ones(n)], [0]).tolil()
+    r = 77
+    for c0 in (500, 3200):
+        vals = 0.01 * rng.standard_normal(run)
+        A[r, c0:c0 + run] = vals
+        A[c0:c0 + run, r] = vals
+    A = A.tocsr()
+    A = ((A + sp.diags(np.abs(A).sum(axis=1).A1)) / 3.0).tocsr()
+    op = HeavySplitOperator.from_csr(A, threshold=300, keep_lo=True)
+    assert len(op.groups) == 2               # two occurrence ranks
+    x64 = rng.standard_normal(n)
+    xp = np.zeros(op.Np)
+    xp[:n] = x64
+    xh = xp.astype(np.float32)
+    xl = (xp - xh.astype(np.float64)).astype(np.float32)
+    yh, yl = op.spmv_df64(jnp.asarray(xh), jnp.asarray(xl))
+    y = (np.asarray(yh, np.float64) + np.asarray(yl, np.float64))[:n]
+    ref = A @ x64
+    assert np.linalg.norm(y - ref) / np.linalg.norm(ref) < 1e-12
+
+
+def test_heavy_keep_lo_cg_df64(rng):
+    """acg-df64 semantics on a heavy matrix: pipelined-df64 through the
+    keep_lo heavy split reaches tolerances far below the f32 floor
+    (CPU-jit df64 is weaker than hardware — CLAUDE.md — so 1e-8 here;
+    the reference needs no special casing, cg-kernels-cuda.cu:358-441)."""
+    A, _ = _heavy_system(rng)
+    A = (A / 3.0).tocsr()
+    op = HeavySplitOperator.from_csr(A, threshold=300, keep_lo=True)
+    N = A.shape[0]
+    xstar = rng.standard_normal(N)
+    xstar /= np.linalg.norm(xstar)
+    b = A @ xstar
+    opt = CGOptions(max_iterations=300, residual_rtol=1e-8, check_every=4)
+    x, info = solve(op, b, opt=opt, method="pipelined-df64")
+    assert info.converged
+    # the solver guarantees its recurrence residual; the true residual
+    # lags by a small drift factor, larger here than in the SELL-only
+    # tests because CPU-jit weakens the tail's XLA-land df_adds too
+    # (hardware: the df64 tail kernel measured 2e-14 exact)
+    assert np.linalg.norm(b - A @ x) < 1e-8 * np.linalg.norm(b) * 4
+
+
+def test_heavy_df64_requires_keep_lo(rng):
+    """Without keep_lo the df64 dispatch refuses (no silent f32 round)."""
+    A, _ = _heavy_system(rng)
+    op = HeavySplitOperator.from_csr(A, threshold=300)
+    assert not op.df64_ready
+    b = np.ones(A.shape[0])
+    with pytest.raises(ValueError, match="keep_lo"):
+        solve(op, b, opt=CGOptions(max_iterations=10),
+              method="pipelined-df64")
+
+
+def test_sell_from_csr_heavy_keep_lo_and_cap_guard(rng):
+    """heavy composes with keep_lo through the generic builder; heavy
+    with cap is an explicit error instead of a silent skip."""
+    from acg_tpu.core.sell import sell_from_csr
+
+    A, _ = _heavy_system(rng)
+    A = (A / 3.0).tocsr()
+    op = sell_from_csr(A, heavy=True, keep_lo=True)
+    assert isinstance(op, HeavySplitOperator) and op.df64_ready
+    with pytest.raises(ValueError, match="competing"):
+        sell_from_csr(A, heavy=True, cap=8)
+    with pytest.raises(NotImplementedError, match="f32"):
+        sell_from_csr(A, heavy=True, dtype=np.float64)
+
+
 def test_heavy_two_segments_one_row(rng):
     """A row owning TWO distant dense runs emits two tail slots; the
     scatter-add (no uniqueness promise) accumulates both into the row."""
