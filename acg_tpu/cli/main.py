@@ -292,15 +292,36 @@ def main(argv=None) -> int:
             _dist_cache[key] = pm
         return _dist_cache[key]
 
+    def _heavy_wanted(dtype: str = "float32") -> bool:
+        """Heavy-segment splitting: explicit --sell-heavy, or ON by
+        default under --format auto — detection is the gate (a uniform
+        mesh has no qualifying segments and builds the plain layout
+        unchanged; the split measured 2.67 → 8.71 Gnnz/s on the heavy
+        regime, BENCHMARKS.md), matching the reference, which needs no
+        flag to be load-balanced (cg-kernels-cuda.cu:312-441)."""
+        if args.sell_heavy:
+            return True
+        return (args.format == "auto" and not args.sell_cap
+                and dtype == "float32")
+
     def _get_dist_sell(keep_lo: bool = False):
-        key = ("dso", keep_lo)
+        heavy = _heavy_wanted() and not keep_lo
+        if args.sell_heavy and keep_lo:
+            print("note: --sell-heavy is skipped for the distributed df64 "
+                  "path (heavy + keep_lo is single-device only)",
+                  file=sys.stderr)
+        key = ("dso", keep_lo, heavy)
         if key not in _dist_cache:
             with timer.phase("format"):
                 from ..parallel.dist_sell import build_dist_sell
                 _dist_cache[key] = build_dist_sell(_get_pm("cluster"),
-                                                   keep_lo=keep_lo)
+                                                   keep_lo=keep_lo,
+                                                   heavy=heavy)
+            dso = _dist_cache[key]
             log(args, "distributed SELL layout: "
-                      f"fill={_dist_cache[key].fill:.3f}")
+                      f"fill={dso.fill:.3f}"
+                      + (f", {int(dso.tail[0].shape[0])}-part run-tail"
+                         if dso.tail is not None else ""))
         return _dist_cache[key]
 
     def _run_dist_fast():
@@ -476,12 +497,15 @@ def main(argv=None) -> int:
                 # heavy (row, chunk) tails for fill)
                 from ..core.sell import sell_from_csr
                 try:
-                    _op_cache[key] = sell_from_csr(
+                    op = sell_from_csr(
                         A.to_scipy_full(args.epsilon), dtype=dtype,
                         cap=args.sell_cap, keep_lo=keep_lo,
-                        heavy=args.sell_heavy)
-                    log(args, f"SELL layout: S={_op_cache[key].S} slots, "
-                              f"fill={_op_cache[key].fill:.3f}")
+                        heavy=_heavy_wanted(dtype))
+                    _op_cache[key] = op
+                    extra = f", run-tail: {op.ntail} segments" \
+                        if hasattr(op, "ntail") else ""
+                    log(args, f"SELL layout: S={op.S} slots, "
+                              f"fill={op.fill:.3f}{extra}")
                 except MemoryError as e:
                     # scatter-regime fail-fast (no column locality — the
                     # chunked-gather layout is infeasible by measurement,

@@ -234,7 +234,6 @@ class HeavySplitOperator:
             raise NotImplementedError(
                 "HeavySplitOperator is f32-only (run-tail kernel; use "
                 "keep_lo=True for the df64-parity path)")
-        import scipy.sparse as sp
         A = A.tocsr()
         if not A.has_sorted_indices:
             A = A.copy()
@@ -246,27 +245,8 @@ class HeavySplitOperator:
             raise ValueError("no dense window segments; use sell_from_csr")
 
         nsteps = -(-nseg // R)
-        W = WSUB * 1024
-        tvals = np.zeros((nsteps * R, W), np.float32)
-        tlo = np.zeros((nsteps * R, W), np.float32) if keep_lo else None
-        tbase = np.zeros((nsteps * R,), np.int32)
-        trows = np.full((nsteps * R,), N, np.int32)   # pad slots → row N
-        tail_mask = np.zeros(A.nnz, dtype=bool)
-        for i in range(nseg):
-            lo, hi = seg_lo[i], seg_hi[i]
-            cols = A.indices[lo:hi]
-            base = int(cols[0]) // 1024
-            off = cols - base * 1024
-            d = A.data[lo:hi]
-            tvals[i, off] = d
-            if keep_lo:
-                tlo[i, off] = (np.asarray(d, np.float64)
-                               - tvals[i, off].astype(np.float64))
-            tbase[i] = base
-            trows[i] = seg_row[i]
-            tail_mask[lo:hi] = True
-        if keep_lo and not tlo.any():
-            tlo = None                     # tail exactly f32-representable
+        tvals, tlo, tbase, trows, tail_mask = tail_arrays(
+            A, seg_row, seg_lo, seg_hi, nsteps, pad_row=N, keep_lo=keep_lo)
 
         # duplicate-free scatter rounds for the df64 tail add: k-th round
         # holds each live row's k-th segment (unique rows by construction;
@@ -279,14 +259,7 @@ class HeavySplitOperator:
                            jnp.asarray(seg_row[idx_k].astype(np.int32))))
 
         # main block: same row/column space, segment entries removed
-        keep = ~tail_mask
-        rowlen = np.diff(A.indptr)
-        row_of = np.repeat(np.arange(N, dtype=np.int64), rowlen)
-        counts = np.bincount(row_of[keep], minlength=N)
-        indptr = np.zeros(N + 1, A.indptr.dtype)
-        np.cumsum(counts, out=indptr[1:])
-        Am = sp.csr_matrix((A.data[keep], A.indices[keep], indptr),
-                           shape=A.shape)
+        Am = strip_segments(A, tail_mask)
         main = SellOperator.from_csr(Am, dtype=dtype,
                                      max_stored_bytes=max_stored_bytes,
                                      keep_lo=keep_lo)

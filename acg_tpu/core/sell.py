@@ -909,11 +909,17 @@ def sell_from_csr(A, dtype=np.float32,
             f"(ncols={ncols:,} > {MAX_VMEM_ROWS:,}); partition the matrix "
             "across devices for the capped path")
     if heavy:
-        raise NotImplementedError(
-            "the heavy split is not implemented for column-paneled "
-            f"operators (ncols={ncols:,} > {MAX_VMEM_ROWS:,}); partition "
-            "the matrix across devices so each part fits the VMEM-"
-            "resident path")
+        # detection IS the gate (same contract as the VMEM path): a
+        # uniform matrix has no qualifying segments and builds the plain
+        # paneled layout; an actual heavy regime at paneled width is
+        # unsupported and must be loud, not silently fill-poisoned
+        from .heavy import heavy_segments
+        if len(heavy_segments(A)[0]):
+            raise NotImplementedError(
+                "the heavy split is not implemented for column-paneled "
+                f"operators (ncols={ncols:,} > {MAX_VMEM_ROWS:,}); "
+                "partition the matrix across devices so each part fits "
+                "the VMEM-resident path (build_dist_sell(heavy=True))")
     import scipy.sparse as sp
     Np = _round_up(max(N, 1), 128)
     # pad rows to the tile multiple once so tile slicing is exact

@@ -81,10 +81,17 @@ class DistSellOperator:
     nnz_true: int
     df64_ready: bool = False   # built with keep_lo=True (lo slabs present,
     #                            or proven unnecessary: matrix is f32-exact)
+    # optional per-part dense run-tails for heavy-segment rows of the
+    # OWNED blocks (build_dist_sell(heavy=True)): stacked SPMD-uniform
+    # (tvals (P, nsteps, R, WSUB, 8, 128), tbase (P, nsteps*R),
+    # trows (P, nsteps*R) with pads at L)
+    tail: tuple | None = None
 
     @property
     def fill(self) -> float:
         stored = self.own.stored_slots + self.gst.stored_slots
+        if self.tail is not None:
+            stored += int(self.tail[0].size)
         return self.nnz_true / max(stored, 1)
 
 
@@ -171,23 +178,64 @@ def _common_layout(csrs: list[sp.csr_matrix], L: int, ncols: int,
 
 
 def build_dist_sell(pm: PartitionedMatrix, dtype=np.float32,
-                    keep_lo: bool = False) -> DistSellOperator:
+                    keep_lo: bool = False, heavy: bool = False,
+                    heavy_threshold: int | None = None) -> DistSellOperator:
     """Build the stacked owned/interface SELL blocks from a partitioned
     matrix.  Entries come from the partition's ELL slabs (zero-valued
     padding slots dropped), so no access to the original global matrix
     is needed.  ``keep_lo`` builds the df64 rounding-residual slabs
-    (see _common_layout) for the distributed pipelined-df64 solver."""
+    (see _common_layout) for the distributed pipelined-df64 solver.
+
+    ``heavy`` detects dense window segments in each part's OWNED block
+    (core/heavy.heavy_segments over the local column space) and moves
+    them to per-part dense run-tails so the SELL layouts recover their
+    mesh fill — the distributed twin of sell_from_csr(heavy=True)
+    (measured single-chip: 2.67 → 8.71 Gnnz/s on the ACG_HEAVY=2
+    regime, BENCHMARKS.md).  Tails stack SPMD-uniform: nsteps is maxed
+    across parts and parts with fewer segments pad with zero slabs.
+    Ghost-block runs are not split (ghost columns are an arbitrary
+    permutation of remote rows, so contiguous runs do not survive the
+    renumbering).  heavy + keep_lo is not implemented distributed (the
+    duplicate-free df64 scatter rounds are not SPMD-uniform); use the
+    single-device HeavySplitOperator for df64 heavy solves."""
+    if heavy and keep_lo:
+        raise NotImplementedError(
+            "heavy + keep_lo is not implemented for the distributed SELL "
+            "operator (the df64 tail scatter rounds are not SPMD-"
+            "uniform); the single-device sell_from_csr(heavy=True, "
+            "keep_lo=True) path covers df64 heavy solves")
+    if heavy and np.dtype(dtype) != np.float32:
+        raise NotImplementedError(
+            "the heavy split stores f32 slabs (run-tail kernel)")
     P, L, G = pm.P, pm.L, pm.G
     own_csrs = [_ell_to_csr(pm.own_colidx[p], pm.own_vals[p], L, L)
                 for p in range(P)]
     gst_csrs = [_ell_to_csr(pm.ghost_colidx[p], pm.ghost_vals[p], L, G)
                 for p in range(P)]
-    own = _common_layout(own_csrs, L, L, dtype, keep_lo=keep_lo)
-    gst = _common_layout(gst_csrs, L, G, dtype, keep_lo=keep_lo)
     nnz_true = sum(int(a.nnz) for a in own_csrs) \
         + sum(int(a.nnz) for a in gst_csrs)
+    tail = None
+    if heavy:
+        from ..core.heavy import (R, WSUB, heavy_segments, strip_segments,
+                                  tail_arrays)
+        segs = [heavy_segments(A, heavy_threshold) for A in own_csrs]
+        nsteps = max((-(-len(s[0]) // R) for s in segs), default=0)
+        if nsteps > 0:
+            tv, tb, tr = [], [], []
+            for p in range(P):
+                tvals, _, tbase, trows, mask = tail_arrays(
+                    own_csrs[p], *segs[p], nsteps=nsteps, pad_row=L)
+                if mask.any():
+                    own_csrs[p] = strip_segments(own_csrs[p], mask)
+                tv.append(tvals.reshape(nsteps, R, WSUB, 8, 128))
+                tb.append(tbase)
+                tr.append(trows)
+            tail = (jnp.asarray(np.stack(tv)), jnp.asarray(np.stack(tb)),
+                    jnp.asarray(np.stack(tr)))
+    own = _common_layout(own_csrs, L, L, dtype, keep_lo=keep_lo)
+    gst = _common_layout(gst_csrs, L, G, dtype, keep_lo=keep_lo)
     return DistSellOperator(own=own, gst=gst, P=P, L=L, nnz_true=nnz_true,
-                            df64_ready=keep_lo)
+                            df64_ready=keep_lo, tail=tail)
 
 
 def sell_block_spmv(blk: dict, x: jnp.ndarray, ncols: int,
@@ -212,11 +260,23 @@ def dist_sell_spmv_with_ghosts(own: dict, gst: dict, x_own: jnp.ndarray,
     """Owned-block + interface-block SELL SpMV given a filled ghost
     buffer — the fa/oa operator split of symcsrmatrix.h:249-292 at
     kernel speed.  The owned term does not consume ``ghosts``, so XLA
-    overlaps the halo collective with it."""
+    overlaps the halo collective with it.  When the owned dict carries
+    dense run-tail slabs (build_dist_sell(heavy=True)), the tail term
+    scatter-adds into the owned rows (pads masked to zero and clamped
+    in-range — an out-of-bounds scatter index is dropped silently,
+    which would hide a real bug)."""
     L = x_own.shape[0]
     y_own = sell_block_spmv(own, x_own, own_ncols, L)
     y_gst = sell_block_spmv(gst, ghosts, gst_ncols, L)
-    return y_own + y_gst
+    y = y_own + y_gst
+    if "tvals" in own:
+        from ..ops.pallas_runtail import runtail_spmv
+        Nx = _round_up(max(own_ncols, 1), 1024)
+        yt = runtail_spmv(own["tvals"], own["tbase"], x_own, Nx)
+        trows = own["trows"]
+        yt = jnp.where(trows < L, yt, 0.0)
+        y = y.at[jnp.minimum(trows, L - 1)].add(yt)
+    return y
 
 
 def sell_block_spmv_df64(blk: dict, xh: jnp.ndarray, xl: jnp.ndarray,

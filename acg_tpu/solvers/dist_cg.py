@@ -279,14 +279,21 @@ def solve_dist_general(pm: PartitionedMatrix, b: np.ndarray,
                                           dist_sell_spmv_with_ghosts_df64)
         dso = sell_op if sell_op is not None else build_dist_sell(
             pm, keep_lo=df)
+        own_tree = dso.own.tree()
+        if dso.tail is not None:
+            # per-part dense run-tails ride in the owned dict (stacked on
+            # the same leading part axis; parallel/dist_sell.py heavy)
+            own_tree["tvals"], own_tree["tbase"], own_tree["trows"] = \
+                dso.tail
         own_t = jax.tree_util.tree_map(
-            lambda a: jax.device_put(jnp.asarray(a), stk), dso.own.tree())
+            lambda a: jax.device_put(jnp.asarray(a), stk), own_tree)
         gst_t = jax.tree_util.tree_map(
             lambda a: jax.device_put(jnp.asarray(a), stk), dso.gst.tree())
         op_args = (own_t, gst_t)
         op_shapes = tuple(v.shape for v in dso.own.vals) \
             + tuple(v.shape for v in dso.gst.vals) \
-            + (dso.own.vals_lo is not None, dso.gst.vals_lo is not None)
+            + (dso.own.vals_lo is not None, dso.gst.vals_lo is not None,
+               None if dso.tail is None else tuple(dso.tail[0].shape))
         own_ncols, gst_ncols = dso.own.ncols, dso.gst.ncols
 
         if df and not dso.df64_ready:

@@ -44,7 +44,14 @@ def analytic_op_stats(op, info: SolveInfo, method: str, nparts: int = 1,
     allreduce (cgcuda.c:1710-1821).  Setup adds 1-2 SpMVs and norms.
     """
     k = max(info.niterations, 0)
-    s = np.asarray(op.vals).dtype.itemsize if hasattr(op, "vals") else 8
+    # operator storage width: .dtype when exposed (SELL operators hold a
+    # TUPLE of per-bucket slabs — np.asarray on it is inhomogeneous)
+    if hasattr(op, "dtype"):
+        s = np.dtype(op.dtype).itemsize
+    elif hasattr(op, "vals"):
+        s = np.asarray(op.vals).dtype.itemsize
+    else:
+        s = 8
     Np = op.Np
     vec = Np * s
     spmv_b = op.bytes_per_spmv()

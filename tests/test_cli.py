@@ -435,3 +435,103 @@ def test_sell_heavy_flag_solves(tmp_path, capsys):
     val = float(capsys.readouterr().err.split(
         "manufactured solution error 2-norm: ")[1].splitlines()[0])
     assert val < 1e-2
+
+
+# ---------------------------------------------------------------------------
+# Round 5: heavy-segment auto-detection (no flag) — the reference needs no
+# flag to be load-balanced (merge-CSR by construction,
+# cg-kernels-cuda.cu:312-441), so neither does the driver under
+# --format auto.  Measured basis: run-tail split 2.67 → 8.71 Gnnz/s
+# (BENCHMARKS.md).
+
+
+@pytest.fixture
+def heavy_file(tmp_path):
+    """Mesh + two long-run rows: >512 distinct diagonals (DIA gives up,
+    auto falls to SELL) and qualifying dense window segments."""
+    import scipy.sparse as sp
+    from acg_tpu.io.mtxfile import MtxFile
+
+    rng = np.random.default_rng(9)
+    n, run = 1500, 600
+    A = sp.diags([np.ones(n), 0.1 * np.ones(n), 0.1 * np.ones(n)],
+                 [0, 1, -1], shape=(n, n)).tolil()
+    for r in (100, 800):
+        v = 0.01 * rng.standard_normal(run)
+        A[r, r:r + run] = v
+        A[r:r + run, r] = v
+    A = A.tocsr()
+    A = (A + sp.diags(np.abs(A).sum(axis=1).A1)).tocsr()
+    coo = sp.triu(A).tocoo()
+    m = MtxFile(object="matrix", format="coordinate", field="real",
+                symmetry="symmetric", nrows=n, ncols=n, nnz=coo.nnz,
+                rowidx=coo.row.astype(np.int64),
+                colidx=coo.col.astype(np.int64), data=coo.data)
+    p = tmp_path / "H.mtx"
+    write_mtx(p, m)
+    return p
+
+
+def test_format_auto_heavy_no_flag(heavy_file, tmp_path, capsys):
+    """--format auto takes the run-tail split with NO --sell-heavy flag
+    on a heavy-regime matrix (f32 fast path: the run-tail kernel stores
+    f32 slabs, so the auto gate is dtype-aware — the default-f64 classic
+    path keeps reference semantics unchanged)."""
+    out = tmp_path / "x.mtx"
+    rc = cli_main.main([str(heavy_file), "--manufactured-solution",
+                        "--solver", "acg-fused", "--dtype", "float32",
+                        "--max-iterations", "500", "--residual-rtol",
+                        "1e-6", "--warmup", "0", "-v", "-o", str(out)])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "run-tail" in err            # the split path, not plain SELL
+    val = float(err.split("manufactured solution error 2-norm: ")[1]
+                .splitlines()[0])
+    assert val < 1e-4
+
+
+def test_format_auto_uniform_mesh_unchanged(unstructured_file, capsys):
+    """A matrix with no qualifying segments builds the plain layout
+    under auto — detection is the gate, no behavior change."""
+    rc = cli_main.main([str(unstructured_file), "--manufactured-solution",
+                        "--max-iterations", "2000", "--residual-rtol",
+                        "1e-6", "--warmup", "0", "-v"])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "SELL layout" in err
+    assert "run-tail" not in err
+
+
+def test_cli_heavy_df64(heavy_file, tmp_path, capsys):
+    """acg-df64 --sell-heavy: f64-quality convergence on a heavy matrix
+    through the keep_lo run-tail split (VERDICT round-4 gap: this
+    combination silently built the fill-poisoned plain layout)."""
+    out = tmp_path / "x.mtx"
+    rc = cli_main.main([str(heavy_file), "--manufactured-solution",
+                        "--solver", "acg-df64", "--sell-heavy",
+                        "--format", "sell",
+                        "--max-iterations", "500", "--check-every", "4",
+                        "--residual-rtol", "1e-7", "--warmup", "0",
+                        "-v", "-o", str(out)])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "run-tail" in err
+    val = float(err.split("manufactured solution error 2-norm: ")[1]
+                .splitlines()[0])
+    assert val < 1e-5
+
+
+def test_cli_dist_heavy_fused(heavy_file, capsys):
+    """acg-fused --nparts 4 on the heavy matrix: the distributed SELL
+    layout builds per-part run-tails under auto detection."""
+    rc = cli_main.main([str(heavy_file), "--manufactured-solution",
+                        "--solver", "acg-fused", "--dtype", "float32",
+                        "--nparts", "4", "--partition-method", "contiguous",
+                        "--max-iterations", "500", "--residual-rtol",
+                        "1e-5", "--warmup", "0", "-v"])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "run-tail" in err
+    val = float(err.split("manufactured solution error 2-norm: ")[1]
+                .splitlines()[0])
+    assert val < 1e-3

@@ -259,3 +259,70 @@ def test_dist_sell_optimal_buckets_spmd_uniform(rng, monkeypatch):
         for v, l in zip(blk.vals, blk.lidx):
             assert v.shape[0] == pm.P and l.shape[0] == pm.P
     assert dso.fill >= dso_eq.fill
+
+
+# ---------------------------------------------------------------------------
+# Round 5: distributed heavy-segment split (build_dist_sell(heavy=True)) —
+# the multi-device twin of the run-tail split that measured 2.67 → 8.71
+# Gnnz/s single-chip (BENCHMARKS.md; reference capability anchor:
+# merge-CSR load balance, cg-kernels-cuda.cu:312-441).
+
+
+def _heavy_pm(rng, n=1600, nparts=4, nheavy=5, run=300):
+    """Mesh + interleaved heavy-run rows, contiguously partitioned so
+    each heavy row's run stays within its own part's owned columns."""
+    A = sp.diags([np.ones(n), 0.1 * np.ones(n), 0.1 * np.ones(n)],
+                 [0, 1, -1], shape=(n, n)).tolil()
+    L = n // nparts
+    hrows = []
+    for p in range(nparts):
+        if p >= nheavy:
+            break
+        r = p * L + 40                      # run inside part p's columns
+        v = 0.01 * rng.standard_normal(run)
+        A[r, r:r + run] = v
+        A[r:r + run, r] = v
+        hrows.append(r)
+    A = A.tocsr()
+    A = (A + sp.diags(np.abs(A).sum(axis=1).A1)).tocsr()
+    part = partition_contiguous(n, nparts)
+    return A, build_partitioned_matrix(A, part, pad_to=8), hrows
+
+
+def test_dist_heavy_build_and_spmv(rng):
+    """heavy=True strips per-part owned segments into SPMD-uniform
+    stacked run-tails and the distributed solve stays scipy-exact."""
+    A, pm, hrows = _heavy_pm(rng)
+    dso = build_dist_sell(pm, heavy=True, heavy_threshold=200)
+    assert dso.tail is not None
+    tvals, tbase, trows = dso.tail
+    assert tvals.shape[0] == pm.P and trows.shape == (pm.P, tvals.shape[1] * 8)
+    # tails really detected on the parts holding heavy rows
+    assert int(np.sum(np.asarray(trows) < pm.L)) >= len(hrows)
+    N = A.shape[0]
+    xstar = rng.standard_normal(N)
+    xstar /= np.linalg.norm(xstar)
+    b = A @ xstar
+    opt = CGOptions(max_iterations=200, residual_rtol=1e-5,
+                    dot_dtype="mixed")
+    x, info = solve_dist_general(pm, b, opt=opt, method="pipelined-fused",
+                                 operator="sell", sell_op=dso)
+    assert info.converged
+    assert np.linalg.norm(x - xstar) < 5e-4
+
+
+def test_dist_heavy_uniform_mesh_no_tail(rng):
+    """Detection is the gate: a uniform mesh builds the plain stacked
+    layout (tail=None), bit-identical shapes to heavy=False."""
+    A, pm = poisson_pm(12, 4, rng)
+    dso_h = build_dist_sell(pm, heavy=True)
+    dso_p = build_dist_sell(pm)
+    assert dso_h.tail is None
+    for a, b_ in zip(dso_h.own.vals, dso_p.own.vals):
+        assert a.shape == b_.shape
+
+
+def test_dist_heavy_keep_lo_refused(rng):
+    A, pm, _ = _heavy_pm(rng)
+    with pytest.raises(NotImplementedError, match="keep_lo"):
+        build_dist_sell(pm, heavy=True, keep_lo=True)
