@@ -20,18 +20,20 @@ cancels launch/fetch constants exactly — both runs are a single XLA
 program each (no host in the loop).  Timing syncs on device completion
 (block_until_ready), never on value fetches (seconds-scale variance).
 
-Protocol of record (round-4 change): the differencing is repeated
-``ACG_BENCH_ESTIMATES`` (default 3) times, each estimate min-of-2 inner
-timings per iteration count, and the reported ``value`` is the MEDIAN
-estimate with ``spread_pct`` = (max − min)/median.  Two rounds running,
-a best-observed single number drifted 3-6% from the driver's capture
-(chip contention); the median-of-3-with-spread is reproducible: docs
-must quote the driver-run median and may footnote best-observed.
+Protocol of record (round-4 change, tightened round 5): the differencing
+is repeated ``ACG_BENCH_ESTIMATES`` (default 5) times, each estimate
+min-of-2 inner timings per iteration count; estimates slower than 1.25x
+the running median are chip contention and are discarded-and-retried
+(bounded budget), and the reported ``value`` is the MEDIAN estimate with
+``spread_pct`` = (max − min)/median.  Two rounds running, a
+best-observed single number drifted 3-6% from the driver's capture
+(chip contention); the median-with-spread is reproducible: docs must
+quote the driver-run median and may footnote best-observed.
 
 Output: ONE JSON line {"metric", "value", "unit", "vs_baseline",
-"spread_pct", "estimates"}.  ``vs_baseline`` is the fraction of the
-memory-roofline iteration time achieved (1.0 = speed of light), since
-the reference repo publishes no numbers (BASELINE.md).
+"spread_pct", "estimates", "retries"}.  ``vs_baseline`` is the fraction
+of the memory-roofline iteration time achieved (1.0 = speed of light),
+since the reference repo publishes no numbers (BASELINE.md).
 """
 
 from __future__ import annotations
@@ -136,15 +138,35 @@ def main() -> None:
         jax.block_until_ready(r)
         _ = float(r[1])
 
-    n_est = max(int(os.environ.get("ACG_BENCH_ESTIMATES", "3")), 1)
-    estimates = []
-    for _j in range(n_est):
+    # Round-5 protocol tightening: 5 estimates (was 3) + discard-and-
+    # retry of contended outliers — one slow estimate out of three left
+    # spread_pct at 30% in the round-4 capture.  An estimate worse than
+    # 1.25x the median is chip contention (the tail is one-sided: the
+    # other tenant can only make us slower), so it is replaced, up to a
+    # bounded retry budget.  The MEDIAN stays the value of record.
+    n_est = max(int(os.environ.get("ACG_BENCH_ESTIMATES", "5")), 1)
+
+    def one_estimate():
         t1 = timed_once(run1)
         t2 = timed_once(run2)
-        estimates.append((t2 - t1) / (K2 - K1))
+        return (t2 - t1) / (K2 - K1)
+
+    def med(v):
+        s = sorted(v)
+        m = len(s)
+        return s[m // 2] if m % 2 else 0.5 * (s[m // 2 - 1] + s[m // 2])
+
+    estimates = [one_estimate() for _j in range(n_est)]
+    retries = 0
+    while retries < 2 * n_est:
+        worst = max(estimates)
+        if worst <= 1.25 * med(estimates):
+            break
+        estimates.remove(worst)
+        estimates.append(one_estimate())
+        retries += 1
     estimates.sort()
-    per_iter = estimates[len(estimates) // 2] if n_est % 2 else \
-        0.5 * (estimates[n_est // 2 - 1] + estimates[n_est // 2])
+    per_iter = med(estimates)
     spread_pct = 100.0 * (estimates[-1] - estimates[0]) / per_iter \
         if per_iter > 0 else 0.0
 
@@ -164,6 +186,7 @@ def main() -> None:
         "vs_baseline": round(vs, 4),
         "spread_pct": round(spread_pct, 2),
         "estimates": [round(e * 1e6, 2) for e in estimates],
+        "retries": retries,
     }))
 
 
