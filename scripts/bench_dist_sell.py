@@ -57,6 +57,15 @@ def main():
     nodes = int(sys.argv[1]) if len(sys.argv) > 1 else (2000 if small else 200000)
     nparts = len(jax.devices())
     A = build_matrix(nodes)
+    # round-5 protocol: cluster-order the global matrix so the bare
+    # baseline is the 8.03 Gnnz/s record path (fill 0.121), and the
+    # distributed layout gets the round-4 levers on top (per-part
+    # local_order="cluster" + the elementwise-max bucket DP)
+    from acg_tpu.partition.ordering import cluster_order
+    t0 = time.perf_counter()
+    perm = cluster_order(A.indptr, A.indices, ball=256)
+    A = A[perm][:, perm].tocsr()
+    print(f"cluster order {time.perf_counter() - t0:.1f} s", flush=True)
     N = A.shape[0]
     rng = np.random.default_rng(0)
     xh = rng.standard_normal(N).astype(np.float32)
@@ -75,7 +84,8 @@ def main():
     # --- distributed stack at nparts devices -----------------------------
     t0 = time.perf_counter()
     part = partition_bfs_recursive(A.indptr, A.indices, nparts, seed=0)
-    pm = build_partitioned_matrix(A, part, pad_to=256)
+    pm = build_partitioned_matrix(A, part, pad_to=256,
+                                  local_order="cluster")
     t_part = time.perf_counter() - t0
     t0 = time.perf_counter()
     dso = build_dist_sell(pm)
