@@ -305,11 +305,7 @@ def main(argv=None) -> int:
                 and dtype == "float32")
 
     def _get_dist_sell(keep_lo: bool = False):
-        heavy = _heavy_wanted() and not keep_lo
-        if args.sell_heavy and keep_lo:
-            print("note: --sell-heavy is skipped for the distributed df64 "
-                  "path (heavy + keep_lo is single-device only)",
-                  file=sys.stderr)
+        heavy = _heavy_wanted()
         key = ("dso", keep_lo, heavy)
         if key not in _dist_cache:
             with timer.phase("format"):
@@ -318,10 +314,11 @@ def main(argv=None) -> int:
                                                    keep_lo=keep_lo,
                                                    heavy=heavy)
             dso = _dist_cache[key]
+            nseg = 0 if dso.tail is None else \
+                int(np.sum(np.asarray(dso.tail["tocc"]) >= 0))
             log(args, "distributed SELL layout: "
                       f"fill={dso.fill:.3f}"
-                      + (f", {int(dso.tail[0].shape[0])}-part run-tail"
-                         if dso.tail is not None else ""))
+                      + (f", run-tail: {nseg} segments" if nseg else ""))
         return _dist_cache[key]
 
     def _run_dist_fast():

@@ -82,16 +82,22 @@ class DistSellOperator:
     df64_ready: bool = False   # built with keep_lo=True (lo slabs present,
     #                            or proven unnecessary: matrix is f32-exact)
     # optional per-part dense run-tails for heavy-segment rows of the
-    # OWNED blocks (build_dist_sell(heavy=True)): stacked SPMD-uniform
-    # (tvals (P, nsteps, R, WSUB, 8, 128), tbase (P, nsteps*R),
-    # trows (P, nsteps*R) with pads at L)
-    tail: tuple | None = None
+    # OWNED blocks (build_dist_sell(heavy=True)): dict of stacked
+    # SPMD-uniform arrays — tvals (P, nsteps, R, WSUB, 8, 128), tbase
+    # (P, nsteps*R), trows (P, nsteps*R) with pads at L, tocc
+    # (P, nsteps*R) occurrence rank per slot (pads -1), and optionally
+    # tvals_lo (keep_lo: f64→f32 residual windows)
+    tail: dict | None = None
+    # static: number of occurrence ranks (max segments any row owns,
+    # maxed across parts) — the df64 tail scatter runs one exact
+    # masked-add round per rank
+    tail_K: int = 0
 
     @property
     def fill(self) -> float:
         stored = self.own.stored_slots + self.gst.stored_slots
         if self.tail is not None:
-            stored += int(self.tail[0].size)
+            stored += int(self.tail["tvals"].size)
         return self.nnz_true / max(stored, 1)
 
 
@@ -195,15 +201,11 @@ def build_dist_sell(pm: PartitionedMatrix, dtype=np.float32,
     across parts and parts with fewer segments pad with zero slabs.
     Ghost-block runs are not split (ghost columns are an arbitrary
     permutation of remote rows, so contiguous runs do not survive the
-    renumbering).  heavy + keep_lo is not implemented distributed (the
-    duplicate-free df64 scatter rounds are not SPMD-uniform); use the
-    single-device HeavySplitOperator for df64 heavy solves."""
-    if heavy and keep_lo:
-        raise NotImplementedError(
-            "heavy + keep_lo is not implemented for the distributed SELL "
-            "operator (the df64 tail scatter rounds are not SPMD-"
-            "uniform); the single-device sell_from_csr(heavy=True, "
-            "keep_lo=True) path covers df64 heavy solves")
+    renumbering).  heavy + keep_lo composes: the tail keeps (hi, lo)
+    window pairs, and the df64 scatter runs one masked-ADD round per
+    occurrence rank (each row appears at most once per rank, and the
+    masked-out slots contribute exact 0.0 adds — SPMD-uniform shapes,
+    unlike the single-device unique-set groups)."""
     if heavy and np.dtype(dtype) != np.float32:
         raise NotImplementedError(
             "the heavy split stores f32 slabs (run-tail kernel)")
@@ -215,27 +217,49 @@ def build_dist_sell(pm: PartitionedMatrix, dtype=np.float32,
     nnz_true = sum(int(a.nnz) for a in own_csrs) \
         + sum(int(a.nnz) for a in gst_csrs)
     tail = None
+    tail_K = 0
     if heavy:
         from ..core.heavy import (R, WSUB, heavy_segments, strip_segments,
                                   tail_arrays)
         segs = [heavy_segments(A, heavy_threshold) for A in own_csrs]
         nsteps = max((-(-len(s[0]) // R) for s in segs), default=0)
         if nsteps > 0:
-            tv, tb, tr = [], [], []
+            tv, tl, tb, tr, to = [], [], [], [], []
+            any_lo = False
             for p in range(P):
-                tvals, _, tbase, trows, mask = tail_arrays(
-                    own_csrs[p], *segs[p], nsteps=nsteps, pad_row=L)
+                tvals, tlo, tbase, trows, mask = tail_arrays(
+                    own_csrs[p], *segs[p], nsteps=nsteps, pad_row=L,
+                    keep_lo=keep_lo)
                 if mask.any():
                     own_csrs[p] = strip_segments(own_csrs[p], mask)
                 tv.append(tvals.reshape(nsteps, R, WSUB, 8, 128))
+                tl.append(tlo.reshape(nsteps, R, WSUB, 8, 128)
+                          if tlo is not None
+                          else np.zeros((nsteps, R, WSUB, 8, 128),
+                                        np.float32))
+                any_lo = any_lo or tlo is not None
                 tb.append(tbase)
                 tr.append(trows)
-            tail = (jnp.asarray(np.stack(tv)), jnp.asarray(np.stack(tb)),
-                    jnp.asarray(np.stack(tr)))
+                # occurrence rank per slot (pads -1): seg_row is sorted,
+                # so rank = index - first index of that row
+                seg_row = segs[p][0]
+                occ = np.full((nsteps * R,), -1, np.int32)
+                if len(seg_row):
+                    occ[:len(seg_row)] = (
+                        np.arange(len(seg_row))
+                        - np.searchsorted(seg_row, seg_row)).astype(np.int32)
+                    tail_K = max(tail_K, int(occ[:len(seg_row)].max()) + 1)
+                to.append(occ)
+            tail = dict(tvals=jnp.asarray(np.stack(tv)),
+                        tbase=jnp.asarray(np.stack(tb)),
+                        trows=jnp.asarray(np.stack(tr)),
+                        tocc=jnp.asarray(np.stack(to)))
+            if keep_lo and any_lo:
+                tail["tvals_lo"] = jnp.asarray(np.stack(tl))
     own = _common_layout(own_csrs, L, L, dtype, keep_lo=keep_lo)
     gst = _common_layout(gst_csrs, L, G, dtype, keep_lo=keep_lo)
     return DistSellOperator(own=own, gst=gst, P=P, L=L, nnz_true=nnz_true,
-                            df64_ready=keep_lo, tail=tail)
+                            df64_ready=keep_lo, tail=tail, tail_K=tail_K)
 
 
 def sell_block_spmv(blk: dict, x: jnp.ndarray, ncols: int,
@@ -304,13 +328,35 @@ def sell_block_spmv_df64(blk: dict, xh: jnp.ndarray, xl: jnp.ndarray,
 def dist_sell_spmv_with_ghosts_df64(own: dict, gst: dict,
                                     xh: jnp.ndarray, xl: jnp.ndarray,
                                     gh: jnp.ndarray, gl: jnp.ndarray,
-                                    own_ncols: int, gst_ncols: int):
+                                    own_ncols: int, gst_ncols: int,
+                                    tail_K: int = 0):
     """df64 owned + interface SpMV: both block products are (hi, lo)
     pairs combined with an error-free df_add, giving the general-
     partition f64-parity q = A·w (what the reference's per-rank merge
-    kernel computes in native f64, cg-kernels-cuda.cu:358-441)."""
+    kernel computes in native f64, cg-kernels-cuda.cu:358-441).
+
+    ``tail_K`` > 0 adds the df64 run-tail (heavy + keep_lo build): one
+    masked scatter-ADD round per occurrence rank — within a rank every
+    live row appears once (the add is a set), masked/pad slots add an
+    exact 0.0, so each round composes with one error-free df_add and
+    shapes stay SPMD-uniform."""
     from ..ops import df64
     L = xh.shape[0]
-    oh, ol = sell_block_spmv_df64(own, xh, xl, own_ncols, L)
-    th, tl = sell_block_spmv_df64(gst, gh, gl, gst_ncols, L)
-    return df64.df_add(oh, ol, th, tl)
+    yh, yl = sell_block_spmv_df64(own, xh, xl, own_ncols, L)
+    bh, bl = sell_block_spmv_df64(gst, gh, gl, gst_ncols, L)
+    yh, yl = df64.df_add(yh, yl, bh, bl)
+    if tail_K > 0:
+        from ..ops.pallas_runtail import runtail_spmv_df64
+        Nx = _round_up(max(own_ncols, 1), 1024)
+        th, tl = runtail_spmv_df64(own["tvals"],
+                                   own.get("tvals_lo"), own["tbase"],
+                                   xh, xl, Nx)
+        trows = own["trows"]
+        live = trows < L
+        rowsc = jnp.minimum(trows, L - 1)
+        for k in range(tail_K):
+            m = live & (own["tocc"] == k)
+            zh = jnp.zeros_like(yh).at[rowsc].add(jnp.where(m, th, 0.0))
+            zl = jnp.zeros_like(yl).at[rowsc].add(jnp.where(m, tl, 0.0))
+            yh, yl = df64.df_add(yh, yl, zh, zl)
+    return yh, yl

@@ -283,17 +283,18 @@ def solve_dist_general(pm: PartitionedMatrix, b: np.ndarray,
         if dso.tail is not None:
             # per-part dense run-tails ride in the owned dict (stacked on
             # the same leading part axis; parallel/dist_sell.py heavy)
-            own_tree["tvals"], own_tree["tbase"], own_tree["trows"] = \
-                dso.tail
+            own_tree.update(dso.tail)
         own_t = jax.tree_util.tree_map(
             lambda a: jax.device_put(jnp.asarray(a), stk), own_tree)
         gst_t = jax.tree_util.tree_map(
             lambda a: jax.device_put(jnp.asarray(a), stk), dso.gst.tree())
         op_args = (own_t, gst_t)
+        tail_K = dso.tail_K
         op_shapes = tuple(v.shape for v in dso.own.vals) \
             + tuple(v.shape for v in dso.gst.vals) \
             + (dso.own.vals_lo is not None, dso.gst.vals_lo is not None,
-               None if dso.tail is None else tuple(dso.tail[0].shape))
+               None if dso.tail is None
+               else tuple(dso.tail["tvals"].shape), tail_K)
         own_ncols, gst_ncols = dso.own.ncols, dso.gst.ncols
 
         if df and not dso.df64_ready:
@@ -311,7 +312,8 @@ def solve_dist_general(pm: PartitionedMatrix, b: np.ndarray,
                     gh = halo_fn(wh, *h, AXIS)
                     gl = halo_fn(wl, *h, AXIS)
                     return dist_sell_spmv_with_ghosts_df64(
-                        own_l, gst_l, wh, wl, gh, gl, own_ncols, gst_ncols)
+                        own_l, gst_l, wh, wl, gh, gl, own_ncols,
+                        gst_ncols, tail_K)
                 return spmv
 
             def spmv(xx):

@@ -46,14 +46,22 @@ def main():
     xstar = rng.standard_normal(N)
     xstar /= np.linalg.norm(xstar)
     b = A @ xstar
-    opt = CGOptions(max_iterations=500, residual_rtol=1e-8, check_every=10)
+    # f32 vectors + mixed dots: a MEASURED hardware constraint (2026-08-
+    # 20) — the first f64 attempt failed in XLA's X64-rewrite pass
+    # ("While rewriting computation to not contain X64 element types ...
+    # not implemented: ragged-all-to-all f64"), i.e. the TPU f64
+    # emulation cannot carry a ragged collective.  The production fast
+    # path is f32 storage anyway, so the exact-volume halo is validated
+    # where it is actually used; f64 solves take halo=allgather/alltoall.
+    opt = CGOptions(max_iterations=500, residual_rtol=1e-5, check_every=10,
+                    dot_dtype="mixed")
 
     results = {}
     for halo in ("allgather", "ragged"):
         t0 = time.perf_counter()
         try:
             x, info = solve_dist_general(pm, b, opt=opt, method="pipelined",
-                                         halo=halo)
+                                         halo=halo, dtype=np.float32)
         except Exception as e:
             print(f"halo={halo}: FAILED: {type(e).__name__}: {e}",
                   flush=True)

@@ -295,7 +295,7 @@ def test_dist_heavy_build_and_spmv(rng):
     A, pm, hrows = _heavy_pm(rng)
     dso = build_dist_sell(pm, heavy=True, heavy_threshold=200)
     assert dso.tail is not None
-    tvals, tbase, trows = dso.tail
+    tvals, trows = dso.tail["tvals"], dso.tail["trows"]
     assert tvals.shape[0] == pm.P and trows.shape == (pm.P, tvals.shape[1] * 8)
     # tails really detected on the parts holding heavy rows
     assert int(np.sum(np.asarray(trows) < pm.L)) >= len(hrows)
@@ -322,7 +322,27 @@ def test_dist_heavy_uniform_mesh_no_tail(rng):
         assert a.shape == b_.shape
 
 
-def test_dist_heavy_keep_lo_refused(rng):
-    A, pm, _ = _heavy_pm(rng)
-    with pytest.raises(NotImplementedError, match="keep_lo"):
-        build_dist_sell(pm, heavy=True, keep_lo=True)
+def test_dist_heavy_keep_lo_df64(rng):
+    """heavy + keep_lo distributed: the df64 tail (masked-add rounds,
+    one per occurrence rank) converges at a tolerance far below the f32
+    floor — the reference's f64 merge kernel needs no special casing
+    (cg-kernels-cuda.cu:358-441) and now neither does the distributed
+    driver."""
+    A, pm, hrows = _heavy_pm(rng)
+    A = (A / 3.0).tocsr()                    # inexact in f32
+    pm = build_partitioned_matrix(A, partition_contiguous(A.shape[0], 4),
+                                  pad_to=8)
+    dso = build_dist_sell(pm, heavy=True, keep_lo=True,
+                          heavy_threshold=200)
+    assert dso.df64_ready and dso.tail is not None and dso.tail_K >= 1
+    assert "tvals_lo" in dso.tail
+    N = A.shape[0]
+    xstar = rng.standard_normal(N)
+    xstar /= np.linalg.norm(xstar)
+    b = A @ xstar
+    opt = CGOptions(max_iterations=300, residual_rtol=1e-8, check_every=4)
+    x, info = solve_dist_general(pm, b, opt=opt, method="pipelined-df64",
+                                 operator="sell", sell_op=dso)
+    assert info.converged
+    assert np.linalg.norm(b - A @ x) < 1e-8 * np.linalg.norm(b) * 4
+    assert np.linalg.norm(x - xstar) < 1e-6
