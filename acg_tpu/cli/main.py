@@ -247,6 +247,11 @@ def main(argv=None) -> int:
             x0 = x0[perm]
 
     nparts = args.nparts if args.comm != "none" or args.nparts > 1 else 1
+    # an EXPLICIT communicator forces the distributed code path even at
+    # nparts=1 (the reference's solvempi runs through MPI at 1 rank too,
+    # cg.c:490-614) — the only way to drive the shard_map programs on a
+    # single attached chip end-to-end from the driver
+    dist = nparts > 1 or args.comm != "none"
     dia = None
     with timer.phase("format"):
         if args.format in ("auto", "dia"):
@@ -378,7 +383,7 @@ def main(argv=None) -> int:
             op = _make_op()
             return solve_jax_ref(op, b, x0, opt)
         if args.solver == "acg-auto":
-            if nparts > 1:
+            if dist:
                 return _run_dist_fast()
             from ..solvers.auto import solve_auto
             if dia is not None and args.format in ("auto", "dia"):
@@ -404,7 +409,7 @@ def main(argv=None) -> int:
                     return solve(_make_op(), b, x0, opt, "pipelined")
             return solve_auto(op64, b, x0, opt, verbose=args.verbose > 0)
         if args.solver in ("acg-fused", "acg-df64"):
-            if nparts > 1:
+            if dist:
                 return _run_dist_fast()
             df = args.solver == "acg-df64"
             use_dia = dia is not None and args.format in ("auto", "dia")
@@ -441,7 +446,7 @@ def main(argv=None) -> int:
             method = "pipelined-fused" if not df else "pipelined-df64"
             return solve(op, b, x0, opt, method)
         method = "pipelined" if "pipelined" in args.solver else "cg"
-        if nparts > 1:
+        if dist:
             if use_dia_stencil:
                 offsets, vals = dia
                 hw = max(1, int(np.abs(offsets).max()))

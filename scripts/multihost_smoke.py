@@ -85,7 +85,8 @@ def child() -> int:
         red = lambda v: lax.psum(v, AXIS)
         return pipelined_cg_loop(spmv, b_l, x0_l, opt, red)
 
-    scalar_spec = dict(niterations=P(), converged=P(), bnrm2sqr=P(),
+    scalar_spec = dict(niterations=P(), converged=P(), stalled=P(),
+                       bnrm2sqr=P(),
                        r0nrm2sqr=P(), rnrm2sqr=P(), x0nrm2sqr=P(),
                        dxnrm2sqr=P())
     run = jax.jit(shard_map(local, mesh=mesh,

@@ -535,3 +535,19 @@ def test_cli_dist_heavy_fused(heavy_file, capsys):
     val = float(err.split("manufactured solution error 2-norm: ")[1]
                 .splitlines()[0])
     assert val < 1e-3
+
+
+def test_comm_xla_forces_dist_at_nparts1(matrix_file, capsys):
+    """--comm xla drives the distributed code path at nparts=1 (the
+    reference's solvempi runs through MPI at 1 rank too, cg.c:490-614) —
+    the only way to hardware-prove the shard_map programs from the
+    driver on a single attached chip."""
+    rc = cli_main.main([str(matrix_file), "--manufactured-solution",
+                        "--solver", "acg-fused", "--dtype", "float32",
+                        "--comm", "xla", "--nparts", "1",
+                        "--residual-rtol", "1e-5", "--warmup", "0", "-v"])
+    assert rc == 0
+    err = capsys.readouterr().err
+    val = float(err.split("manufactured solution error 2-norm: ")[1]
+                .splitlines()[0])
+    assert val < 1e-2
