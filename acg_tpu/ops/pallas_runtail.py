@@ -59,6 +59,15 @@ from . import df64
 R = 8          # tail rows per grid step
 WSUB = 4       # window = WSUB (8, 128) subrows = WSUB*1024 elements
 
+# x-residency cap for the fast variant (elements): below this, x lives
+# in one VMEM scratch for the whole kernel (a single big DMA at step 0,
+# the SELL kernel's trick) and each row's window is a dynamic leading-
+# dim read — no per-row DMAs at all.  Measured motivation: the windowed
+# variant is DMA-ISSUE-bound, not bandwidth-bound (8 × 16 KB window
+# copies per grid step ≈ 1.2 us/step = 215 GB/s vs 693 achievable).
+# Same ~12 MB VMEM class as core.sell.MAX_VMEM_ROWS.
+RESIDENT_X_MAX = 3_000_000
+
 
 def _runtail_kernel(x_hbm, base_ref, vals_ref, y_ref, xw, sems):
     i = pl.program_id(0).astype(jnp.int32)
@@ -78,6 +87,30 @@ def _runtail_kernel(x_hbm, base_ref, vals_ref, y_ref, xw, sems):
     for k in range(R):
         copy(k).wait()
         y_ref[i * R + jnp.int32(k)] = jnp.sum(vals_ref[0, k] * xw[k])
+
+
+def _runtail_kernel_resident(x_hbm, base_ref, vals_ref, y_ref, xv, sem):
+    """Resident-x variant: one whole-x DMA at step 0, then each row's
+    window is WSUB dynamic leading-dim reads of the VMEM scratch (the
+    traced-index pattern the SELL kernel's xv[c >> 3, c & 7] proves on
+    hardware) — zero per-row DMAs, so the pass streams vals at the
+    BlockSpec pipeline's speed instead of DMA-issue latency."""
+    i = pl.program_id(0).astype(jnp.int32)
+
+    @pl.when(i == 0)
+    def _():
+        cp = pltpu.make_async_copy(x_hbm, xv, sem)
+        cp.start()
+        cp.wait()
+
+    for k in range(R):
+        k32 = jnp.int32(k)
+        b = base_ref[i * R + k32]
+        v = vals_ref[0, k]                       # (WSUB, 8, 128)
+        tot = v[0] * xv[b]
+        for w in range(1, WSUB):
+            tot = tot + v[w] * xv[b + jnp.int32(w)]
+        y_ref[i * R + k32] = jnp.sum(tot)
 
 
 @functools.partial(jax.jit, static_argnames=("Nx",))
@@ -106,12 +139,13 @@ def runtail_spmv(vals: jnp.ndarray, base: jnp.ndarray, x: jnp.ndarray,
         x = x[:Nxp]
     x3 = x.reshape(Nxp // 1024, 8, 128)
     z32 = np.int32(0)
+    resident = Nxp <= RESIDENT_X_MAX
     # SMEM specs carry explicit full-array blocks + int32 index maps:
     # the synthesized default map returns Python ints, which trace to
     # i64 under jax_enable_x64 and Mosaic dies with "failed to legalize
     # func.return (i64)" (measured on hardware; CLAUDE.md rule)
     y = pl.pallas_call(
-        _runtail_kernel,
+        _runtail_kernel_resident if resident else _runtail_kernel,
         grid=(nsteps,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),                  # x3 in HBM
@@ -125,6 +159,9 @@ def runtail_spmv(vals: jnp.ndarray, base: jnp.ndarray, x: jnp.ndarray,
                                memory_space=pltpu.SMEM),        # y full
         out_shape=jax.ShapeDtypeStruct((nsteps * R,), jnp.float32),
         scratch_shapes=[
+            pltpu.VMEM((Nxp // 1024, 8, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ] if resident else [
             pltpu.VMEM((R, WSUB, 8, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((R,)),
         ],
@@ -136,6 +173,29 @@ def runtail_spmv(vals: jnp.ndarray, base: jnp.ndarray, x: jnp.ndarray,
         interpret=jax.default_backend() == "cpu",
     )(x3, base, vals)
     return y
+
+
+def _rt_df64_row(vals_ref, vlo_ref, has_lo, k, xwh_k, xwl_k,
+                 yh_ref, yl_ref):
+    """One tail row's EFT window dot → per-lane (128,) pair stores.
+
+    ``xwh_k``/``xwl_k`` are the row's (WSUB, 8, 128) window views (from
+    the per-row DMA scratch or the resident-x scratch)."""
+    vh = vals_ref[0, k]                           # (WSUB, 8, 128)
+    with df64.no_barriers():
+        p, e = df64.two_prod(vh, xwh_k)
+        e = e + vh * xwl_k
+        if has_lo:
+            e = e + vlo_ref[0, k] * xwh_k
+        # compensated sublane fold: WSUB*8 sub-rows -> one (128,) pair
+        pr = p.reshape(WSUB * 8, 128)
+        s = pr[0]
+        err = jnp.sum(e.reshape(WSUB * 8, 128), axis=0)
+        for q in range(1, WSUB * 8):
+            s, c2 = df64.two_sum(s, pr[q])
+            err = err + c2
+    yh_ref[0, k] = s
+    yl_ref[0, k] = err
 
 
 def _runtail_kernel_df64(has_lo, xh_hbm, xl_hbm, base_ref, vals_refs,
@@ -166,21 +226,37 @@ def _runtail_kernel_df64(has_lo, xh_hbm, xl_hbm, base_ref, vals_refs,
     for k in range(R):
         copy(k, xh_hbm, xwh, 0).wait()
         copy(k, xl_hbm, xwl, 1).wait()
-        vh = vals_ref[0, k]                       # (WSUB, 8, 128)
-        with df64.no_barriers():
-            p, e = df64.two_prod(vh, xwh[k])
-            e = e + vh * xwl[k]
-            if has_lo:
-                e = e + vlo_ref[0, k] * xwh[k]
-            # compensated sublane fold: WSUB*8 sub-rows -> one (128,) pair
-            pr = p.reshape(WSUB * 8, 128)
-            s = pr[0]
-            err = jnp.sum(e.reshape(WSUB * 8, 128), axis=0)
-            for q in range(1, WSUB * 8):
-                s, c2 = df64.two_sum(s, pr[q])
-                err = err + c2
-        yh_ref[0, k] = s
-        yl_ref[0, k] = err
+        _rt_df64_row(vals_ref, vlo_ref, has_lo, k, xwh[k], xwl[k],
+                     yh_ref, yl_ref)
+
+
+def _runtail_kernel_df64_resident(has_lo, xh_hbm, xl_hbm, base_ref,
+                                  vals_refs, yh_ref, yl_ref, xvh, xvl,
+                                  sems):
+    """Resident-x df64 variant: both (hi, lo) components DMA'd whole to
+    VMEM once at step 0; windows are dynamic leading-dim slices (see
+    _runtail_kernel_resident for the measured motivation)."""
+    i = pl.program_id(0).astype(jnp.int32)
+    if has_lo:
+        vals_ref, vlo_ref = vals_refs
+    else:
+        (vals_ref,), vlo_ref = vals_refs, None
+
+    @pl.when(i == 0)
+    def _():
+        cph = pltpu.make_async_copy(xh_hbm, xvh, sems.at[jnp.int32(0)])
+        cpl = pltpu.make_async_copy(xl_hbm, xvl, sems.at[jnp.int32(1)])
+        cph.start()
+        cpl.start()
+        cph.wait()
+        cpl.wait()
+
+    for k in range(R):
+        b = base_ref[i * R + jnp.int32(k)]
+        xwh_k = jnp.stack([xvh[b + jnp.int32(w)] for w in range(WSUB)])
+        xwl_k = jnp.stack([xvl[b + jnp.int32(w)] for w in range(WSUB)])
+        _rt_df64_row(vals_ref, vlo_ref, has_lo, k, xwh_k, xwl_k,
+                     yh_ref, yl_ref)
 
 
 def _runtail_df64_xla(vals, vals_lo, base, xh, xl, Nxp):
@@ -263,12 +339,17 @@ def runtail_spmv_df64(vals: jnp.ndarray, vals_lo, base: jnp.ndarray,
         in_specs.append(slab_spec)                          # vals lo
         args.append(vals_lo)
 
+    # resident-x needs BOTH pair components in VMEM → half the f32 cap
+    resident = Nxp <= RESIDENT_X_MAX // 2
+    kern = _runtail_kernel_df64_resident if resident else \
+        _runtail_kernel_df64
+
     def krn(xh_hbm, xl_hbm, base_ref, *rest):
         if has_lo:
             vrefs, outs = (rest[0], rest[1]), rest[2:]
         else:
             vrefs, outs = (rest[0],), rest[1:]
-        _runtail_kernel_df64(has_lo, xh_hbm, xl_hbm, base_ref, vrefs, *outs)
+        kern(has_lo, xh_hbm, xl_hbm, base_ref, vrefs, *outs)
 
     out_spec = pl.BlockSpec((1, R, 128), lambda i: (i, z32, z32),
                             memory_space=pltpu.VMEM)
@@ -280,6 +361,10 @@ def runtail_spmv_df64(vals: jnp.ndarray, vals_lo, base: jnp.ndarray,
         out_shape=(jax.ShapeDtypeStruct((nsteps, R, 128), jnp.float32),
                    jax.ShapeDtypeStruct((nsteps, R, 128), jnp.float32)),
         scratch_shapes=[
+            pltpu.VMEM((Nxp // 1024, 8, 128), jnp.float32),
+            pltpu.VMEM((Nxp // 1024, 8, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ] if resident else [
             pltpu.VMEM((R, WSUB, 8, 128), jnp.float32),
             pltpu.VMEM((R, WSUB, 8, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((R, 2)),
