@@ -329,3 +329,36 @@ def test_heavy_two_segments_one_row(rng):
     y = np.asarray(op.spmv(xp))[:A.shape[0]]
     ref = A @ x.astype(np.float64)
     assert np.linalg.norm(y - ref) / np.linalg.norm(ref) < 1e-5
+
+
+def test_runtail_windowed_fallback_matches_resident(rng, monkeypatch):
+    """Large column spaces fall back to the per-row-window DMA kernel;
+    force it (RESIDENT_X_MAX=0) and check bit-level agreement with the
+    resident path on the same inputs (both run interpret on CPU)."""
+    import acg_tpu.ops.pallas_runtail as rt
+
+    ntail, ncols = 11, 4000
+    Nx = _round_up(ncols, 1024)
+    nsteps = -(-ntail // R)
+    vals = np.zeros((nsteps * R, WSUB * 1024), np.float32)
+    base = np.zeros((nsteps * R,), np.int32)
+    x = rng.standard_normal(Nx).astype(np.float32)
+    for i in range(ntail):
+        span = int(rng.integers(1, SPAN_LIMIT))
+        start = int(rng.integers(0, ncols - span))
+        b = start // 1024
+        vals[i, start - b * 1024:start - b * 1024 + span] = \
+            rng.standard_normal(span).astype(np.float32)
+        base[i] = b
+    v5 = jnp.asarray(vals.reshape(nsteps, R, WSUB, 8, 128))
+    b1 = jnp.asarray(base)
+    xj = jnp.asarray(x)
+    y_res = np.asarray(rt.runtail_spmv(v5, b1, xj, Nx))
+    monkeypatch.setattr(rt, "RESIDENT_X_MAX", 0)
+    rt.runtail_spmv.clear_cache()
+    y_win = np.asarray(rt.runtail_spmv(v5, b1, xj, Nx))
+    rt.runtail_spmv.clear_cache()
+    # same values through different f32 reduction orders (the resident
+    # path folds WSUB window parts before the full-array sum) — agree
+    # to the roundoff of a 4096-element f32 dot
+    np.testing.assert_allclose(y_win, y_res, rtol=5e-5, atol=5e-5)
