@@ -309,15 +309,39 @@ def main(argv=None) -> int:
         return (args.format == "auto" and not args.sell_cap
                 and dtype == "float32")
 
+    def _dist_heavy_probe() -> bool:
+        """True when the distributed SELL build should take the heavy
+        split.  Probes the GLOBAL matrix: heavy runs are contiguous in
+        the input ordering, and the per-part cluster relabeling
+        FRAGMENTS them below the detection threshold (measured on the
+        real chip: 172 of 528 segments survived, fill 0.062) — so heavy
+        inputs keep the identity local order (the run split recovers
+        far more fill than clustering does), while mesh-only inputs
+        keep the cluster-order lift."""
+        key = ("heavy_probe",)
+        if key not in _dist_cache:
+            probe = False
+            if _heavy_wanted():
+                from ..core.heavy import heavy_segments
+                probe = len(heavy_segments(
+                    A.to_scipy_full(args.epsilon))[0]) > 0
+            _dist_cache[key] = probe
+        return _dist_cache[key]
+
+    def _dist_sell_pm():
+        """The pm every distributed-SELL consumer must share (operator
+        slabs AND vector scatter/halo plans live in the same local
+        order)."""
+        return _get_pm("none" if _dist_heavy_probe() else "cluster")
+
     def _get_dist_sell(keep_lo: bool = False):
-        heavy = _heavy_wanted()
+        heavy = _dist_heavy_probe()
         key = ("dso", keep_lo, heavy)
         if key not in _dist_cache:
             with timer.phase("format"):
                 from ..parallel.dist_sell import build_dist_sell
-                _dist_cache[key] = build_dist_sell(_get_pm("cluster"),
-                                                   keep_lo=keep_lo,
-                                                   heavy=heavy)
+                _dist_cache[key] = build_dist_sell(
+                    _dist_sell_pm(), keep_lo=keep_lo, heavy=heavy)
             dso = _dist_cache[key]
             nseg = 0 if dso.tail is None else \
                 int(np.sum(np.asarray(dso.tail["tocc"]) >= 0))
@@ -348,7 +372,7 @@ def main(argv=None) -> int:
                                                verbose=args.verbose > 0)
             bnrm = float(np.linalg.norm(np.asarray(b, np.float64)))
             dso = _get_dist_sell(keep_lo=_needs_escalation(opt, bnrm))
-            return solve_auto_dist(_get_pm("cluster"), b, x0=x0, opt=opt,
+            return solve_auto_dist(_dist_sell_pm(), b, x0=x0, opt=opt,
                                    halo=args.halo, sell_op=dso,
                                    verbose=args.verbose > 0)
         if use_dia_stencil:
@@ -372,7 +396,7 @@ def main(argv=None) -> int:
         # general partition: distributed SELL (keep_lo slabs for df64)
         dso = _get_dist_sell(keep_lo=df)
         return solve_dist_general(
-            _get_pm("cluster"), b, x0=x0, opt=opt,
+            _dist_sell_pm(), b, x0=x0, opt=opt,
             method="pipelined-df64" if df else "pipelined-fused",
             operator="sell", sell_op=dso, halo=args.halo)
 
@@ -467,7 +491,7 @@ def main(argv=None) -> int:
             operator = ("sell" if args.format == "sell"
                         or (args.format == "auto"
                             and args.dtype == "float32") else "ell")
-            pm = _get_pm("cluster" if operator == "sell" else "none")
+            pm = _dist_sell_pm() if operator == "sell" else _get_pm("none")
             dso = _get_dist_sell() if operator == "sell" else None
             return solve_dist_general(pm, b, x0=x0, opt=opt, method=method,
                                       dtype=args.dtype, halo=args.halo,

@@ -94,7 +94,14 @@ def _runtail_kernel_resident(x_hbm, base_ref, vals_ref, y_ref, xv, sem):
     window is WSUB dynamic leading-dim reads of the VMEM scratch (the
     traced-index pattern the SELL kernel's xv[c >> 3, c & 7] proves on
     hardware) — zero per-row DMAs, so the pass streams vals at the
-    BlockSpec pipeline's speed instead of DMA-issue latency."""
+    BlockSpec pipeline's speed instead of DMA-issue latency.
+
+    Outputs are PER-LANE partials (R, 128) per grid step to a VMEM
+    block (like the df64 twin); the cheap 128-lane fold happens outside
+    the kernel.  The first cut stored scalars to a full-array SMEM
+    output instead and compiled ~10 min vs ~1 min for this shape —
+    scalar SMEM stores combined with the dynamic VMEM reads are a
+    Mosaic compile-time cliff."""
     i = pl.program_id(0).astype(jnp.int32)
 
     @pl.when(i == 0)
@@ -104,13 +111,12 @@ def _runtail_kernel_resident(x_hbm, base_ref, vals_ref, y_ref, xv, sem):
         cp.wait()
 
     for k in range(R):
-        k32 = jnp.int32(k)
-        b = base_ref[i * R + k32]
+        b = base_ref[i * R + jnp.int32(k)]
         v = vals_ref[0, k]                       # (WSUB, 8, 128)
         tot = v[0] * xv[b]
         for w in range(1, WSUB):
             tot = tot + v[w] * xv[b + jnp.int32(w)]
-        y_ref[i * R + k32] = jnp.sum(tot)
+        y_ref[0, k] = jnp.sum(tot, axis=0)       # (128,) lane partials
 
 
 @functools.partial(jax.jit, static_argnames=("Nx",))
@@ -140,37 +146,53 @@ def runtail_spmv(vals: jnp.ndarray, base: jnp.ndarray, x: jnp.ndarray,
     x3 = x.reshape(Nxp // 1024, 8, 128)
     z32 = np.int32(0)
     resident = Nxp <= RESIDENT_X_MAX
+    cost = pl.CostEstimate(
+        flops=2 * nsteps * R * WSUB * 1024,
+        bytes_accessed=2 * nsteps * R * WSUB * 1024 * 4,
+        transcendentals=0,
+    )
     # SMEM specs carry explicit full-array blocks + int32 index maps:
     # the synthesized default map returns Python ints, which trace to
     # i64 under jax_enable_x64 and Mosaic dies with "failed to legalize
     # func.return (i64)" (measured on hardware; CLAUDE.md rule)
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),                  # x3 in HBM
+        pl.BlockSpec((nsteps * R,), lambda i: (z32,),
+                     memory_space=pltpu.SMEM),              # base
+        pl.BlockSpec((1, R, WSUB, 8, 128),
+                     lambda i: (i, z32, z32, z32, z32),
+                     memory_space=pltpu.VMEM),              # vals
+    ]
+    interp = jax.default_backend() == "cpu"
+    if resident:
+        lanes = pl.pallas_call(
+            _runtail_kernel_resident,
+            grid=(nsteps,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, R, 128), lambda i: (i, z32, z32),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((nsteps, R, 128), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((Nxp // 1024, 8, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+            cost_estimate=cost,
+            interpret=interp,
+        )(x3, base, vals)
+        return jnp.sum(lanes.reshape(nsteps * R, 128), axis=1)
     y = pl.pallas_call(
-        _runtail_kernel_resident if resident else _runtail_kernel,
+        _runtail_kernel,
         grid=(nsteps,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),                  # x3 in HBM
-            pl.BlockSpec((nsteps * R,), lambda i: (z32,),
-                         memory_space=pltpu.SMEM),              # base
-            pl.BlockSpec((1, R, WSUB, 8, 128),
-                         lambda i: (i, z32, z32, z32, z32),
-                         memory_space=pltpu.VMEM),              # vals
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((nsteps * R,), lambda i: (z32,),
                                memory_space=pltpu.SMEM),        # y full
         out_shape=jax.ShapeDtypeStruct((nsteps * R,), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((Nxp // 1024, 8, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ] if resident else [
             pltpu.VMEM((R, WSUB, 8, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((R,)),
         ],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * nsteps * R * WSUB * 1024,
-            bytes_accessed=2 * nsteps * R * WSUB * 1024 * 4,
-            transcendentals=0,
-        ),
-        interpret=jax.default_backend() == "cpu",
+        cost_estimate=cost,
+        interpret=interp,
     )(x3, base, vals)
     return y
 

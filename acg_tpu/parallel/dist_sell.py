@@ -201,7 +201,12 @@ def build_dist_sell(pm: PartitionedMatrix, dtype=np.float32,
     across parts and parts with fewer segments pad with zero slabs.
     Ghost-block runs are not split (ghost columns are an arbitrary
     permutation of remote rows, so contiguous runs do not survive the
-    renumbering).  heavy + keep_lo composes: the tail keeps (hi, lo)
+    renumbering).  Detection operates in the pm's LOCAL column order:
+    runs must be contiguous there, so heavy inputs should be built with
+    local_order="none" — the per-part cluster relabeling fragments runs
+    below the threshold (measured on the chip: 172 of 528 segments
+    survived, fill 0.062; the CLI gates this automatically).
+    heavy + keep_lo composes: the tail keeps (hi, lo)
     window pairs, and the df64 scatter runs one masked-ADD round per
     occurrence rank (each row appears at most once per rank, and the
     masked-out slots contribute exact 0.0 adds — SPMD-uniform shapes,
