@@ -580,7 +580,9 @@ def main(argv=None) -> int:
             x, info = run_once()
     tsolve = timer.phases["solve"]
     log(args, f"solve done in {tsolve:.6f} s, {info.niterations} iterations, "
-              f"converged={info.converged}")
+              f"converged={info.converged}"
+              + (" (halted on the plateau detector)"
+                 if getattr(info, "stalled", False) else ""))
 
     # --- report (acgsolver_fwrite format) -----------------------------------
     if not args.quiet or args.verbose:
