@@ -587,7 +587,10 @@ def main(argv=None) -> int:
     # --- report (acgsolver_fwrite format) -----------------------------------
     if not args.quiet or args.verbose:
         try:
-            op = _make_op()
+            # byte accounting wants the operator the solve actually used;
+            # reuse the cached one (a fresh default-dtype build would be
+            # wasteful, and heavy layouts are f32-only)
+            op = next(iter(_op_cache.values())) if _op_cache else _make_op()
             # measured per-op times: join the profiler trace against the
             # executed program's optimized HLO (the CUDA-event profiling
             # analogue, cgcuda.c:1057-1095).  Works at nparts>1 too: the

@@ -64,7 +64,9 @@ class CGOptions:
     # f32 stage that flatlines ABOVE its clamped tolerance (an ill-
     # conditioned system) straight to the df64 stage instead of spinning
     # to max_iterations.  The reference never needs this: it always
-    # computes f64 (acg-cuda.c:489-530).
+    # computes f64 (acg-cuda.c:489-530).  Applies to the compiled loops;
+    # the host-stepped solvers mirror the reference's host CG, which has
+    # no detector either.
     stall_iters: int = 0
     stall_ratio: float = 0.99
 

@@ -516,6 +516,10 @@ def test_cli_heavy_df64(heavy_file, tmp_path, capsys):
     assert rc == 0
     err = capsys.readouterr().err
     assert "run-tail" in err
+    # the stats report must handle multi-bucket SELL operators (the
+    # per-bucket slab tuple is inhomogeneous for np.asarray — regression
+    # guard for the op.dtype fix in solvers/stats.py)
+    assert "stats unavailable" not in err
     val = float(err.split("manufactured solution error 2-norm: ")[1]
                 .splitlines()[0])
     assert val < 1e-5
