@@ -40,7 +40,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.pallas_runtail import (R, WSUB, runtail_spmv,
+from ..ops.pallas_runtail import (R, WSUB, runtail_scatter, runtail_spmv,
                                   runtail_spmv_df64)
 from .sell import SellOperator, _round_up
 
@@ -134,6 +134,48 @@ def strip_segments(A, tail_mask):
                          shape=A.shape)
 
 
+def mirror_strip(A, seg_row, seg_lo, seg_hi, tail_mask, tvals,
+                 tbase, nsteps: int):
+    """Symmetric-mirror extension of the tail: for every stripped row-
+    segment slot (r, c) whose TRANSPOSE entry (c, r) exists in A with
+    the exact same value (symmetric input), strip (c, r) from the main
+    block too and mark the slot in a separate scatter slab ``svals`` —
+    the transpose contribution y[c] += A[c, r]·x[r] is then computed by
+    runtail_scatter from the same window geometry.
+
+    Per-SLOT granularity sidesteps every double-count hazard: the
+    diagonal (its own mirror) and entries already inside another row
+    segment's window stay un-stripped and their scatter slots stay
+    zero.  Returns (svals (nsteps*R, WSUB*1024) or None, updated
+    tail_mask) — ``tail_mask`` is modified in place."""
+    nseg = len(seg_row)
+    if nseg == 0:
+        return None, tail_mask
+    N, ncols = A.shape
+    # entries sorted by (row, col) ⇒ this key is strictly increasing
+    rowlen = np.diff(A.indptr)
+    row_of = np.repeat(np.arange(N, dtype=np.int64), rowlen)
+    key = row_of * ncols + A.indices.astype(np.int64)
+    pos = np.nonzero(tail_mask)[0]                 # row-segment entries
+    # segments are disjoint [lo, hi) ranges in entry order
+    seg_of = np.searchsorted(seg_lo, pos, side="right") - 1
+    r_all = seg_row[seg_of]
+    c_all = A.indices[pos].astype(np.int64)
+    mkey = c_all * ncols + r_all
+    p2 = np.searchsorted(key, mkey)
+    p2c = np.minimum(p2, len(key) - 1)
+    ok = (key[p2c] == mkey) & ~tail_mask[p2c] \
+        & (A.data[p2c] == A.data[pos]) & (c_all != r_all)
+    if not ok.any():
+        return None, tail_mask
+    W = WSUB * 1024
+    svals = np.zeros((nsteps * R, W), np.float32)
+    off = (c_all - tbase[seg_of].astype(np.int64) * 1024)[ok]
+    svals[seg_of[ok], off] = A.data[pos[ok]]
+    tail_mask[p2c[ok]] = True
+    return svals, tail_mask
+
+
 def heavy_rows(A, threshold: int | None = None) -> np.ndarray:
     """Row ids owning at least one dense window segment (see
     heavy_segments) — the detection gate sell_from_csr(heavy=True)
@@ -169,15 +211,21 @@ class HeavySplitOperator:
     nnz_true: int
     # static: tail built with keep_lo (lo slab present OR proved exact)
     _tail_df64_ready: bool = False
+    # symmetric-mirror scatter slab (core/heavy.mirror_strip): window
+    # values whose transpose entries were stripped from the main block;
+    # None when no mirrors were stripped (asymmetric input / keep_lo)
+    svals: "jnp.ndarray | None" = None
 
     def tree_flatten(self):
         return (self.main, self.tvals, self.tvals_lo, self.tbase,
-                self.trows, self.groups), \
+                self.trows, self.groups, self.svals), \
             (self.N, self.ncols, self.nnz_true, self._tail_df64_ready)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, *aux)
+        (main, tvals, tvals_lo, tbase, trows, groups, svals) = children
+        return cls(main, tvals, tvals_lo, tbase, trows, groups, *aux[:3],
+                   _tail_df64_ready=aux[3], svals=svals)
 
     @property
     def dtype(self):
@@ -207,7 +255,10 @@ class HeavySplitOperator:
 
     @property
     def nnz(self) -> int:
-        return self.main.nnz + self.tvals.size
+        n = self.main.nnz + self.tvals.size
+        if self.svals is not None:
+            n += self.svals.size
+        return n
 
     @property
     def S(self) -> int:
@@ -221,10 +272,20 @@ class HeavySplitOperator:
     @classmethod
     def from_csr(cls, A, dtype=np.float32, threshold: int | None = None,
                  max_stored_bytes: int = 13 * 1024**3,
-                 keep_lo: bool = False):
+                 keep_lo: bool = False, sym: bool = True):
         """Split a scipy CSR matrix by segment regime and build both
         parts.  ``keep_lo`` keeps the f64→f32 rounding residuals of BOTH
         blocks so spmv_df64/pipelined-df64 see the exact matrix.
+
+        ``sym`` (default on; f32 builds only) additionally strips the
+        SYMMETRIC MIRRORS of the detected segments — the dense COLUMNS
+        a symmetric heavy row implies, which otherwise stay in the main
+        block and poison its fill from the transpose side (measured:
+        stripping rows alone left 9.6M mirror entries and G up to 232
+        on the ACG_HEAVY=2 system) — and computes their contribution
+        with the runtail_scatter kernel from the same window slabs.
+        Entry-exact: only mirrors that exist with bit-equal values are
+        moved, so asymmetric inputs degrade gracefully to rows-only.
 
         Raises ValueError when no segment qualifies — callers should use
         the plain builder then (the split only pays when dense window
@@ -247,6 +308,13 @@ class HeavySplitOperator:
         nsteps = -(-nseg // R)
         tvals, tlo, tbase, trows, tail_mask = tail_arrays(
             A, seg_row, seg_lo, seg_hi, nsteps, pad_row=N, keep_lo=keep_lo)
+        svals = None
+        if sym and not keep_lo:
+            # (keep_lo: mirrors stay in the main block — the df64 path
+            # has no EFT scatter kernel; document over silently degrade)
+            svals, tail_mask = mirror_strip(
+                A, seg_row, seg_lo, seg_hi, tail_mask, tvals, tbase,
+                nsteps)
 
         # duplicate-free scatter rounds for the df64 tail add: k-th round
         # holds each live row's k-th segment (unique rows by construction;
@@ -272,11 +340,20 @@ class HeavySplitOperator:
                    trows=jnp.asarray(trows),
                    groups=tuple(groups),
                    N=N, ncols=ncols, nnz_true=int(A.nnz),
-                   _tail_df64_ready=keep_lo)
+                   _tail_df64_ready=keep_lo,
+                   svals=None if svals is None else jnp.asarray(
+                       svals.reshape(nsteps, R, WSUB, 8, 128)))
 
     def spmv(self, x: jnp.ndarray) -> jnp.ndarray:
         Nx = _round_up(max(self.ncols, 1), 1024)
         y = self.main.spmv(x)
+        if self.svals is not None:
+            # transpose-side tail: y[window_i] += svals_i * x[row_i]
+            xr = jnp.where(self.trows < self.N,
+                           x[jnp.minimum(self.trows, self.N - 1)], 0.0
+                           ).astype(jnp.float32)
+            ys = runtail_scatter(self.svals, self.tbase, xr, Nx)
+            y = y + ys[:y.shape[0]]
         yt = runtail_spmv(self.tvals, self.tbase, x, Nx)
         # Pad slots all map to row N (NOT unique — no uniqueness promise
         # on the scatter; rows owning several segments also repeat) and
@@ -319,4 +396,6 @@ class HeavySplitOperator:
         b = self.main.bytes_per_spmv() + 2 * self.tvals.size * isz
         if self.tvals_lo is not None:
             b += self.tvals_lo.size * isz
+        if self.svals is not None:
+            b += self.svals.size * isz
         return b

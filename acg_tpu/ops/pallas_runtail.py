@@ -220,6 +220,81 @@ def _rt_df64_row(vals_ref, vlo_ref, has_lo, k, xwh_k, xwl_k,
     yl_ref[0, k] = err
 
 
+def _runtail_scatter_kernel(base_ref, xr_ref, vals_ref, y_ref):
+    """Transpose-side tail: y[window_i] += vals_i * x[row_i].
+
+    The symmetric mirror of the run-tail gather — a heavy SYMMETRIC row
+    (r, [c0, c0+run)) implies a dense COLUMN whose contribution to y is
+    the stored value window scaled by the scalar x[r].  The y image is
+    a full-array VMEM output with a constant index map (resident across
+    the SEQUENTIAL TPU grid, so overlapping windows accumulate without
+    races); vals stream through the BlockSpec pipeline; x[row] scalars
+    arrive pre-gathered in SMEM."""
+    i = pl.program_id(0).astype(jnp.int32)
+
+    @pl.when(i == 0)
+    def _():
+        y_ref[...] = jnp.zeros_like(y_ref)
+
+    for k in range(R):
+        k32 = jnp.int32(k)
+        b = base_ref[i * R + k32]
+        s = xr_ref[i * R + k32]
+        v = vals_ref[0, k]                        # (WSUB, 8, 128)
+        for w in range(WSUB):
+            w32 = jnp.int32(w)
+            y_ref[b + w32] = y_ref[b + w32] + v[w] * s
+
+
+def runtail_scatter(vals: jnp.ndarray, base: jnp.ndarray,
+                    xr: jnp.ndarray, Nx: int) -> jnp.ndarray:
+    """y[1024*base[i] : 1024*base[i] + WSUB*1024] += vals[i] * xr[i].
+
+    ``xr`` is the (nsteps*R,) f32 vector of x values at each segment's
+    owning row (pads must carry 0.0).  Returns the accumulated (Nx +
+    WSUB*1024,) image; the caller slices/adds into its own y.  Requires
+    the window space within the VMEM residency budget (callers fall
+    back to keeping mirror entries in the SELL main block beyond it)."""
+    if vals.dtype != jnp.float32:
+        raise NotImplementedError(
+            f"runtail_scatter is f32-only; got {vals.dtype}")
+    nsteps = vals.shape[0]
+    assert vals.shape[1:] == (R, WSUB, 8, 128), vals.shape
+    assert base.shape == (nsteps * R,) and base.dtype == jnp.int32
+    assert xr.shape == (nsteps * R,) and xr.dtype == jnp.float32
+    Nxp = Nx + WSUB * 1024
+    if Nxp > RESIDENT_X_MAX:
+        raise NotImplementedError(
+            f"runtail_scatter needs the y image resident in VMEM "
+            f"({Nxp:,} > {RESIDENT_X_MAX:,}); keep mirror entries in "
+            "the main block instead")
+    z32 = np.int32(0)
+    y3 = pl.pallas_call(
+        _runtail_scatter_kernel,
+        grid=(nsteps,),
+        in_specs=[
+            pl.BlockSpec((nsteps * R,), lambda i: (z32,),
+                         memory_space=pltpu.SMEM),              # base
+            pl.BlockSpec((nsteps * R,), lambda i: (z32,),
+                         memory_space=pltpu.SMEM),              # xr
+            pl.BlockSpec((1, R, WSUB, 8, 128),
+                         lambda i: (i, z32, z32, z32, z32),
+                         memory_space=pltpu.VMEM),              # vals
+        ],
+        out_specs=pl.BlockSpec((Nxp // 1024, 8, 128),
+                               lambda i: (z32, z32, z32),
+                               memory_space=pltpu.VMEM),        # y resident
+        out_shape=jax.ShapeDtypeStruct((Nxp // 1024, 8, 128), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nsteps * R * WSUB * 1024,
+            bytes_accessed=(nsteps * R * WSUB * 1024 + Nxp) * 4,
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(base, xr, vals)
+    return y3.reshape(-1)
+
+
 def _runtail_kernel_df64(has_lo, xh_hbm, xl_hbm, base_ref, vals_refs,
                          yh_ref, yl_ref, xwh, xwl, sems):
     """df64 twin of _runtail_kernel: x is an explicit (hi, lo) pair,

@@ -362,3 +362,57 @@ def test_runtail_windowed_fallback_matches_resident(rng, monkeypatch):
     # path folds WSUB window parts before the full-array sum) — agree
     # to the roundoff of a 4096-element f32 dot
     np.testing.assert_allclose(y_win, y_res, rtol=5e-5, atol=5e-5)
+
+
+def test_mirror_strip_symmetric(rng):
+    """Symmetric heavy input: the mirrors of stripped row segments (the
+    dense COLUMNS) move to the scatter slab and the main block slims to
+    near the mesh-only entry count; SpMV stays scipy-exact (covers
+    diagonal-in-window and overlapping-run hazards — _heavy_system's
+    runs start at the diagonal and may overlap)."""
+    A, _ = _heavy_system(rng)
+    op = HeavySplitOperator.from_csr(A, threshold=300)
+    assert op.svals is not None
+    nsym = int((np.asarray(op.svals) != 0).sum())
+    assert nsym > 1000                 # mirrors really moved
+    op_rows_only = HeavySplitOperator.from_csr(A, threshold=300, sym=False)
+    assert op.main.nnz_true == op_rows_only.main.nnz_true - nsym
+    x = rng.standard_normal(A.shape[0]).astype(np.float32)
+    xp = jnp.zeros((op.Np,), jnp.float32).at[:A.shape[0]].set(
+        jnp.asarray(x))
+    ref = A @ x.astype(np.float64)
+    for o in (op, op_rows_only):
+        y = np.asarray(o.spmv(xp))[:A.shape[0]]
+        assert np.linalg.norm(y - ref) / np.linalg.norm(ref) < 1e-5
+
+
+def test_mirror_strip_asymmetric_graceful(rng):
+    """Bit-unequal mirrors stay in the main block (no wrong transpose
+    contribution); SpMV stays exact on an asymmetric matrix."""
+    A, _ = _heavy_system(rng)
+    C = A.copy()
+    C.data = C.data.copy()
+    C.data[::7] *= 1.0000001           # break symmetry across the board
+    op = HeavySplitOperator.from_csr(C, threshold=300)
+    x = rng.standard_normal(C.shape[0]).astype(np.float32)
+    xp = jnp.zeros((op.Np,), jnp.float32).at[:C.shape[0]].set(
+        jnp.asarray(x))
+    y = np.asarray(op.spmv(xp))[:C.shape[0]]
+    ref = C @ x.astype(np.float64)
+    assert np.linalg.norm(y - ref) / np.linalg.norm(ref) < 1e-5
+
+
+def test_mirror_strip_cg_converges(rng):
+    """End-to-end CG through the mirror-stripped operator matches the
+    scipy iteration count."""
+    A, _ = _heavy_system(rng)
+    op = HeavySplitOperator.from_csr(A, threshold=300)
+    assert op.svals is not None
+    xstar = rng.standard_normal(A.shape[0])
+    xstar /= np.linalg.norm(xstar)
+    b = A @ xstar
+    opt = CGOptions(max_iterations=120, residual_rtol=1e-5,
+                    dot_dtype="mixed")
+    x, info = solve(op, b, opt=opt, method="pipelined-fused")
+    assert info.converged
+    assert np.linalg.norm(x - xstar) < 5e-4
