@@ -224,17 +224,33 @@ def build_dist_sell(pm: PartitionedMatrix, dtype=np.float32,
     tail = None
     tail_K = 0
     if heavy:
-        from ..core.heavy import (R, WSUB, heavy_segments, strip_segments,
-                                  tail_arrays)
+        from ..core.heavy import (R, WSUB, heavy_segments, mirror_strip,
+                                  strip_segments, tail_arrays)
         segs = [heavy_segments(A, heavy_threshold) for A in own_csrs]
         nsteps = max((-(-len(s[0]) // R) for s in segs), default=0)
         if nsteps > 0:
-            tv, tl, tb, tr, to = [], [], [], [], []
+            tv, tl, tb, tr, to, sv = [], [], [], [], [], []
             any_lo = False
+            any_sym = False
             for p in range(P):
                 tvals, tlo, tbase, trows, mask = tail_arrays(
                     own_csrs[p], *segs[p], nsteps=nsteps, pad_row=L,
                     keep_lo=keep_lo)
+                svals = None
+                if not keep_lo:
+                    # symmetric-mirror strip of the OWNED block (the
+                    # dense-column twins; core/heavy.mirror_strip).
+                    # Ghost-side mirrors stay put: a stripped row
+                    # segment's transpose lands in the owning part of
+                    # the COLUMN rows, i.e. in their owned blocks —
+                    # which this per-part pass covers exactly when the
+                    # segment's window is within one part (the
+                    # contiguous-partition heavy contract).
+                    svals, mask = mirror_strip(
+                        own_csrs[p], *segs[p], mask, tvals, tbase,
+                        nsteps)
+                    any_sym = any_sym or svals is not None
+                sv.append(svals)
                 if mask.any():
                     own_csrs[p] = strip_segments(own_csrs[p], mask)
                 tv.append(tvals.reshape(nsteps, R, WSUB, 8, 128))
@@ -261,6 +277,13 @@ def build_dist_sell(pm: PartitionedMatrix, dtype=np.float32,
                         tocc=jnp.asarray(np.stack(to)))
             if keep_lo and any_lo:
                 tail["tvals_lo"] = jnp.asarray(np.stack(tl))
+            if any_sym:
+                W = WSUB * 1024
+                tail["svals"] = jnp.asarray(np.stack(
+                    [(np.zeros((nsteps * R, W), np.float32)
+                      if s_ is None else s_).reshape(nsteps, R, WSUB,
+                                                     8, 128)
+                     for s_ in sv]))
     own = _common_layout(own_csrs, L, L, dtype, keep_lo=keep_lo)
     gst = _common_layout(gst_csrs, L, G, dtype, keep_lo=keep_lo)
     return DistSellOperator(own=own, gst=gst, P=P, L=L, nnz_true=nnz_true,
@@ -299,10 +322,16 @@ def dist_sell_spmv_with_ghosts(own: dict, gst: dict, x_own: jnp.ndarray,
     y_gst = sell_block_spmv(gst, ghosts, gst_ncols, L)
     y = y_own + y_gst
     if "tvals" in own:
-        from ..ops.pallas_runtail import runtail_spmv
+        from ..ops.pallas_runtail import runtail_scatter, runtail_spmv
         Nx = _round_up(max(own_ncols, 1), 1024)
-        yt = runtail_spmv(own["tvals"], own["tbase"], x_own, Nx)
         trows = own["trows"]
+        if "svals" in own:
+            xr = jnp.where(trows < L,
+                           x_own[jnp.minimum(trows, L - 1)], 0.0
+                           ).astype(jnp.float32)
+            ys = runtail_scatter(own["svals"], own["tbase"], xr, Nx)
+            y = y + ys[:y.shape[0]]
+        yt = runtail_spmv(own["tvals"], own["tbase"], x_own, Nx)
         yt = jnp.where(trows < L, yt, 0.0)
         y = y.at[jnp.minimum(trows, L - 1)].add(yt)
     return y

@@ -294,7 +294,8 @@ def solve_dist_general(pm: PartitionedMatrix, b: np.ndarray,
             + tuple(v.shape for v in dso.gst.vals) \
             + (dso.own.vals_lo is not None, dso.gst.vals_lo is not None,
                None if dso.tail is None
-               else tuple(dso.tail["tvals"].shape), tail_K)
+               else tuple(dso.tail["tvals"].shape), tail_K,
+               dso.tail is not None and "svals" in dso.tail)
         own_ncols, gst_ncols = dso.own.ncols, dso.gst.ncols
 
         if df and not dso.df64_ready:

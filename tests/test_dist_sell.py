@@ -346,3 +346,23 @@ def test_dist_heavy_keep_lo_df64(rng):
     assert info.converged
     assert np.linalg.norm(b - A @ x) < 1e-8 * np.linalg.norm(b) * 4
     assert np.linalg.norm(x - xstar) < 1e-6
+
+
+def test_dist_heavy_mirror_strip(rng):
+    """Distributed twin of the symmetric-mirror strip: the dense-column
+    twins leave the per-part owned blocks (svals in the stacked tail)
+    and the solve stays scipy-exact."""
+    A, pm, hrows = _heavy_pm(rng)
+    dso = build_dist_sell(pm, heavy=True, heavy_threshold=200)
+    assert dso.tail is not None and "svals" in dso.tail
+    assert int((np.asarray(dso.tail["svals"]) != 0).sum()) > 100
+    N = A.shape[0]
+    xstar = rng.standard_normal(N)
+    xstar /= np.linalg.norm(xstar)
+    b = A @ xstar
+    opt = CGOptions(max_iterations=200, residual_rtol=1e-5,
+                    dot_dtype="mixed")
+    x, info = solve_dist_general(pm, b, opt=opt, method="pipelined-fused",
+                                 operator="sell", sell_op=dso)
+    assert info.converged
+    assert np.linalg.norm(x - xstar) < 5e-4
