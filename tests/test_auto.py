@@ -297,3 +297,29 @@ def test_auto_dist_stencil_escalates(rng):
     rnrm = np.linalg.norm(b - A @ x)
     assert rnrm < 1e-8 * np.linalg.norm(b) * 2
     assert np.linalg.norm(x - xstar) < 1e-5
+
+
+def test_stall_with_check_every_blocks(rng):
+    """Stall detection composes with blocked convergence checks: the
+    loop exits at a block boundary, iterations inside the block freeze,
+    and the result is still a detected stall."""
+    A, offsets, vals2, xstar, b = _illconditioned_system(rng)
+    op32 = DiaOperator.from_arrays(offsets, vals2, dtype=np.float32,
+                                   backend="pallas")
+    opt = CGOptions(max_iterations=4000, residual_rtol=1e-12,
+                    dot_dtype="mixed", stall_iters=50, check_every=16)
+    x, info = solve(op32, b, opt=opt, method="pipelined-fused")
+    assert info.stalled and not info.converged
+    assert info.niterations < 1000
+
+
+def test_stall_ratio_zero_never_improves(system):
+    """stall_ratio = 0 means no iteration can count as improvement
+    (γ ≥ 0 can never drop below 0·best), so the loop halts after
+    exactly stall_iters iterations — a pin of the detector arithmetic."""
+    A, op64, xstar, b = system
+    opt = CGOptions(max_iterations=400, residual_rtol=1e-12,
+                    stall_iters=7, stall_ratio=0.0)
+    x, info = solve(op64, b, opt=opt, method="pipelined")
+    assert info.stalled
+    assert info.niterations == 7

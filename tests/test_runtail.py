@@ -416,3 +416,48 @@ def test_mirror_strip_cg_converges(rng):
     x, info = solve(op, b, opt=opt, method="pipelined-fused")
     assert info.converged
     assert np.linalg.norm(x - xstar) < 5e-4
+
+
+def test_runtail_scatter_overlapping_windows(rng):
+    """Two segments whose y windows OVERLAP accumulate correctly (the
+    sequential-grid resident-y contract), including both rows of one
+    grid step and rows split across steps."""
+    from acg_tpu.ops.pallas_runtail import runtail_scatter
+
+    Nx = 4096
+    W = WSUB * 1024
+    ntail = 10                                  # spans two grid steps
+    nsteps = -(-ntail // R)
+    vals = np.zeros((nsteps * R, W), np.float32)
+    base = np.zeros((nsteps * R,), np.int32)
+    xr = np.zeros((nsteps * R,), np.float32)
+    ref = np.zeros(Nx + W)
+    for i in range(ntail):
+        b = 0                                   # every window overlaps
+        span = int(rng.integers(50, W))
+        v = rng.standard_normal(span).astype(np.float32)
+        vals[i, :span] = v
+        base[i] = b
+        s = float(rng.standard_normal())
+        xr[i] = s
+        ref[:span] += v.astype(np.float64) * s
+    import jax.numpy as jnp
+    y = np.asarray(runtail_scatter(
+        jnp.asarray(vals.reshape(nsteps, R, WSUB, 8, 128)),
+        jnp.asarray(base), jnp.asarray(xr), Nx))
+    assert np.linalg.norm(y - ref) / np.linalg.norm(ref) < 1e-5
+
+
+def test_runtail_scatter_all_pad_is_zero(rng):
+    """Zero xr (all pads) produces an exactly zero image."""
+    from acg_tpu.ops.pallas_runtail import runtail_scatter
+
+    Nx = 2048
+    vals = np.asarray(rng.standard_normal((1, R, WSUB, 8, 128)),
+                      np.float32)
+    base = np.zeros((R,), np.int32)
+    xr = np.zeros((R,), np.float32)
+    import jax.numpy as jnp
+    y = np.asarray(runtail_scatter(jnp.asarray(vals), jnp.asarray(base),
+                                   jnp.asarray(xr), Nx))
+    np.testing.assert_array_equal(y, 0.0)
